@@ -1,0 +1,31 @@
+"""Test configuration: hermetic CPU JAX with an 8-device virtual mesh.
+
+Real-TPU benchmarking happens in bench.py, not in unit tests.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_DATA = "/root/reference/tests/data"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ref_data_dir():
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def tiny_fa():
+    return os.path.join(REFERENCE_DATA, "tiny.fa")
