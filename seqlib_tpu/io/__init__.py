@@ -1,0 +1,10 @@
+from .bai import BaiIndex
+from .bam_reader import BamReader
+from .bam_writer import BamWriter, BAM, SAM, CRAM
+from .bgzf import BgzfReader, BgzfWriter, is_bgzf
+from .fastq import FastqReader
+from .refgenome import RefGenome, build_faidx
+
+__all__ = ["BaiIndex", "BamReader", "BamWriter", "BAM", "SAM", "CRAM",
+           "BgzfReader", "BgzfWriter", "is_bgzf", "FastqReader",
+           "RefGenome", "build_faidx"]

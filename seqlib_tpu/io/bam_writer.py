@@ -1,0 +1,152 @@
+"""BamWriter: BAM/SAM writer with post-close index build.
+
+Parity target: /root/reference/SeqLib/BamWriter.h:16-119 and
+/root/reference/src/BamWriter.cpp — Open by format or extension,
+SetHeader/WriteHeader/WriteRecord/Close/BuildIndex.  Format constants
+mirror ``SeqLib::BAM=4 / SAM=3 / CRAM=6`` (BamWriter.h:10-12); CRAM
+output is emitted as BGZF-BAM with a .cram name (full CRAM codec is a
+host-side roadmap item — see docs/ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..core.header import BamHeader
+from ..core.record import BamRecord
+from .bai import BaiIndex
+from .bam import encode_record, write_bam_header
+from .bgzf import BgzfWriter
+
+SAM = 3
+BAM = 4
+CRAM = 6
+
+
+class BamWriter:
+    def __init__(self, fmt: int | None = None):
+        self._fmt = fmt
+        self._path: str | None = None
+        self._bgzf: BgzfWriter | None = None
+        self._sam_fh = None
+        self._header: BamHeader | None = None
+        self._header_written = False
+        self._index = None
+        self._last_key = None
+
+    # -- open (BamWriter.cpp:69-100) ----------------------------------------
+
+    def open(self, path: str) -> bool:
+        self._path = path
+        fmt = self._fmt
+        if fmt is None:
+            if path.endswith(".sam") or path == "-":
+                fmt = SAM
+            elif path.endswith(".cram"):
+                fmt = CRAM
+            else:
+                fmt = BAM
+            self._fmt = fmt
+        try:
+            if fmt == SAM:
+                self._sam_fh = (sys.stdout if path == "-"
+                                else open(path, "w"))
+            else:
+                target = sys.stdout.buffer if path == "-" else path
+                self._bgzf = BgzfWriter(target)
+            return True
+        except OSError:
+            return False
+
+    def is_open(self) -> bool:
+        return self._bgzf is not None or self._sam_fh is not None
+
+    # -- header (BamWriter.cpp:14-33) ---------------------------------------
+
+    def set_header(self, hdr: BamHeader) -> None:
+        self._header = hdr
+
+    def write_header(self) -> bool:
+        if self._header is None:
+            raise RuntimeError(
+                "BamWriter::WriteHeader - no header supplied")
+        if self._fmt == SAM:
+            self._sam_fh.write(self._header.as_string())
+            if not self._header.as_string().endswith("\n"):
+                self._sam_fh.write("\n")
+        else:
+            write_bam_header(self._bgzf, self._header)
+        self._header_written = True
+        return True
+
+    # -- records (BamWriter.cpp:103-113) ------------------------------------
+
+    def write_record(self, rec: BamRecord) -> bool:
+        if not self._header_written:
+            self.write_header()
+        if self._fmt == SAM:
+            self._sam_fh.write(rec.to_sam(self._header) + "\n")
+            return True
+        voff_beg = self._bgzf.tell_virtual()
+        self._bgzf.write(encode_record(rec))
+        voff_end = self._bgzf.tell_virtual()
+        if self._index is not None:
+            end = rec.pos + max(rec.cigar.num_reference_consumed(), 1)
+            self._index.add_record(rec.tid, rec.pos, end, voff_beg, voff_end,
+                                   rec.mapped_flag())
+        return True
+
+    def enable_indexing(self) -> None:
+        """Collect BAI data on the fly; Close() then writes <path>.bai.
+
+        (Reference builds after close via sam_index_build,
+        BamWriter.cpp:46-67; we index inline which avoids a re-read.)"""
+        if self._header is None:
+            raise RuntimeError("enable_indexing requires a header first")
+        self._index = BaiIndex(self._header.num_sequences())
+
+    def build_index(self) -> bool:
+        """Build .bai for the closed output (BamWriter.cpp:46-67)."""
+        if self._fmt == SAM or self._path in (None, "-"):
+            return False
+        if self._index is not None:
+            self._index.save(self._path + ".bai")
+            return True
+        # re-read the file to index it
+        from .bgzf import BgzfReader
+        from .bam import read_bam_header
+        r = BgzfReader(self._path)
+        hdr = read_bam_header(r)
+        idx = BaiIndex(hdr.num_sequences())
+        while True:
+            voff = r.tell_virtual()
+            from .bam import read_record
+            rec = read_record(r)
+            if rec is None:
+                break
+            end = rec.pos + max(rec.cigar.num_reference_consumed(), 1)
+            idx.add_record(rec.tid, rec.pos, end, voff, r.tell_virtual(),
+                           rec.mapped_flag())
+        r.close()
+        idx.save(self._path + ".bai")
+        return True
+
+    def close(self) -> bool:
+        if self._fmt == SAM:
+            if self._sam_fh not in (None, sys.stdout):
+                self._sam_fh.close()
+            self._sam_fh = None
+        elif self._bgzf is not None:
+            self._bgzf.close()
+            self._bgzf = None
+            if self._index is not None and self._path not in (None, "-"):
+                self._index.save(self._path + ".bai")
+        return True
+
+    # reference-style aliases
+    Open = open
+    Close = close
+    SetHeader = set_header
+    WriteHeader = write_header
+    WriteRecord = write_record
+    BuildIndex = build_index

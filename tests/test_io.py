@@ -1,0 +1,254 @@
+"""I/O layer tests: BGZF, BAM read/write roundtrip, BAI regions, FASTQ,
+RefGenome/faidx (differential vs the reference-generated tiny.fa.fai).
+"""
+
+import os
+import random
+import shutil
+
+import numpy as np
+import pytest
+
+from seqlib_tpu.core import BamHeader, BamRecord, Cigar, GenomicRegion
+from seqlib_tpu.io import (BamReader, BamWriter, BgzfReader, BgzfWriter,
+                           FastqReader, RefGenome, build_faidx, is_bgzf)
+from seqlib_tpu.io.bam import reg2bin, reg2bins
+
+
+# -- BGZF -------------------------------------------------------------------
+
+def test_bgzf_roundtrip(tmp_path):
+    path = str(tmp_path / "t.bgzf")
+    data = bytes(random.Random(7).randbytes(300_000))
+    w = BgzfWriter(path)
+    for i in range(0, len(data), 1000):
+        w.write(data[i:i + 1000])
+    w.close()
+    assert is_bgzf(path)
+    r = BgzfReader(path)
+    assert r.read(len(data) + 10) == data
+    r.close()
+
+
+def test_bgzf_virtual_seek(tmp_path):
+    path = str(tmp_path / "t.bgzf")
+    w = BgzfWriter(path)
+    offsets = []
+    for i in range(50):
+        w.flush_block()
+        offsets.append(w.tell_virtual())
+        w.write(f"chunk{i:04d}".encode() * 100)
+    w.close()
+    r = BgzfReader(path)
+    for i in (30, 3, 49, 0):
+        r.seek_virtual(offsets[i])
+        assert r.read(9) == f"chunk{i:04d}".encode()
+    r.close()
+
+
+# -- BAM record fixtures ----------------------------------------------------
+
+def _make_records(n=500, seed=3):
+    rng = random.Random(seed)
+    hdr = BamHeader([("c1", 100000), ("c2", 100000)])
+    recs = []
+    for i in range(n):
+        r = BamRecord()
+        r.qname = f"read{i:05d}"
+        r.tid = rng.randint(0, 1)
+        r.pos = rng.randint(0, 99000)
+        r.mapq = rng.randint(0, 60)
+        r.flag = rng.choice([0, 16, 99, 147, 83, 163, 2048, 1024])
+        L = rng.randint(50, 100)
+        r.seq = "".join(rng.choice("ACGTN") for _ in range(L))
+        r.qual = np.array([rng.randint(0, 41) for _ in range(L)],
+                          dtype=np.uint8)
+        s = rng.randint(0, 10)
+        m = L - s
+        r.cigar = Cigar(f"{s}S{m}M") if s else Cigar(f"{m}M")
+        r.mtid = r.tid
+        r.mpos = min(r.pos + 200, 99999)
+        r.isize = 300
+        r.add_int_tag("NM", rng.randint(0, 5))
+        r.add_z_tag("RG", "RG1")
+        recs.append(r)
+    recs.sort(key=lambda r: (r.tid, r.pos))
+    return hdr, recs
+
+
+def test_bam_roundtrip(tmp_path):
+    hdr, recs = _make_records()
+    path = str(tmp_path / "t.bam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    w.write_header()
+    for r in recs:
+        w.write_record(r)
+    w.close()
+
+    rd = BamReader()
+    assert rd.open(path)
+    assert rd.header().num_sequences() == 2
+    assert rd.header().id2name(0) == "c1"
+    got = list(rd)
+    assert len(got) == len(recs)
+    for a, b in zip(recs, got):
+        assert a.qname == b.qname
+        assert a.flag == b.flag
+        assert a.tid == b.tid and a.pos == b.pos
+        assert a.mapq == b.mapq
+        assert str(a.cigar) == str(b.cigar)
+        assert a.seq == b.seq
+        assert np.array_equal(a.qual, b.qual)
+        assert a.get_int_tag("NM") == b.get_int_tag("NM")
+        assert a.get_z_tag("RG") == "RG1"
+        assert a.isize == b.isize
+    rd.close()
+
+
+def test_bam_reset(tmp_path):
+    hdr, recs = _make_records(100)
+    path = str(tmp_path / "t.bam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    rd = BamReader(path)
+    pass1 = sum(1 for _ in iter(rd.next, None))
+    rd.reset()
+    pass2 = sum(1 for _ in iter(rd.next, None))
+    assert pass1 == pass2 == 100
+
+
+def test_bam_region_query(tmp_path):
+    hdr, recs = _make_records(2000, seed=11)
+    path = str(tmp_path / "t.bam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    w.enable_indexing()
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    assert os.path.exists(path + ".bai")
+
+    rd = BamReader(path)
+    region = GenomicRegion(0, 20001, 40000)  # 1-based inclusive
+    assert rd.set_region(region)
+    got = list(iter(rd.next, None))
+    # brute-force expectation: overlap with [20000, 40000) 0-based
+    expect = [r for r in recs
+              if r.tid == 0 and r.position_end() > 20000 and r.pos < 40000]
+    assert len(got) == len(expect)
+    assert [r.qname for r in got] == [r.qname for r in expect]
+
+    # multi-region with auto-advance
+    grc = [GenomicRegion(0, 1, 10000), GenomicRegion(1, 1, 10000)]
+    rd.reset()
+    rd.set_regions(grc)
+    got2 = list(iter(rd.next, None))
+    expect2 = [r for r in recs if r.tid == 0 and r.pos < 10000
+               and r.position_end() > 0]
+    expect2 += [r for r in recs if r.tid == 1 and r.pos < 10000
+                and r.position_end() > 0]
+    assert [r.qname for r in got2] == [r.qname for r in expect2]
+    rd.close()
+
+
+def test_bam_build_index_post_close(tmp_path):
+    hdr, recs = _make_records(200)
+    path = str(tmp_path / "t2.bam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    assert w.build_index()
+    rd = BamReader(path)
+    rd.set_region(GenomicRegion(0, 1, 100000))
+    n = sum(1 for _ in iter(rd.next, None))
+    assert n == sum(1 for r in recs if r.tid == 0)
+
+
+def test_sam_roundtrip(tmp_path):
+    hdr, recs = _make_records(50)
+    path = str(tmp_path / "t.sam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    rd = BamReader(path)
+    got = list(iter(rd.next, None))
+    assert len(got) == 50
+    assert got[0].qname == recs[0].qname
+    assert str(got[0].cigar) == str(recs[0].cigar)
+    assert got[0].get_int_tag("NM") == recs[0].get_int_tag("NM")
+
+
+def test_reg2bin_spec():
+    assert reg2bin(0, 1) == 4681
+    assert reg2bin(0, 1 << 14) == 4681
+    assert reg2bin(0, (1 << 14) + 1) == 585
+    assert 4681 in reg2bins(0, 100)
+    assert 0 in reg2bins(0, 100)
+
+
+# -- FASTQ / FASTA ----------------------------------------------------------
+
+def test_fastq_reader_reference_data(ref_data_dir):
+    fq = FastqReader(os.path.join(ref_data_dir, "sim1_bcr.fq"))
+    n = 0
+    first = None
+    for rec in fq:
+        if first is None:
+            first = rec
+        n += 1
+        assert len(rec.seq) == 150
+        assert len(rec.qual) == len(rec.seq)
+    assert n == 10000
+    assert first.name.startswith("BCRABL_")
+
+
+def test_fasta_reader_reference_data(ref_data_dir):
+    fa = FastqReader(os.path.join(ref_data_dir, "tiny.fa"))
+    seqs = list(fa)
+    assert [s.name for s in seqs] == ["bcr", "abl", "tp53", "myc"]
+    assert [len(s.seq) for s in seqs] == [141530, 178633, 23070, 11518]
+
+
+# -- RefGenome / faidx ------------------------------------------------------
+
+def test_faidx_matches_reference(tmp_path, ref_data_dir):
+    src = os.path.join(ref_data_dir, "tiny.fa")
+    dst = str(tmp_path / "tiny.fa")
+    shutil.copy(src, dst)
+    build_faidx(dst)
+    ours = open(dst + ".fai").read()
+    theirs = open(src + ".fai").read()
+    assert ours == theirs
+
+
+def test_refgenome_query(ref_data_dir):
+    rg = RefGenome(os.path.join(ref_data_dir, "tiny.fa"))
+    assert not rg.is_empty()
+    assert rg.get_sequence_length("bcr") == 141530
+    s = rg.query_region("bcr", 0, 99)
+    assert len(s) == 100
+    assert set(s) <= set("ACGTNacgtn")
+    # spans a line boundary (100 cols)
+    s2 = rg.query_region("bcr", 95, 104)
+    assert len(s2) == 10
+    assert s2 == (rg.query_region("bcr", 95, 99)
+                  + rg.query_region("bcr", 100, 104))
+    with pytest.raises(ValueError):
+        rg.query_region("nope", 0, 10)
+    with pytest.raises(ValueError):
+        rg.query_region("bcr", 50, 10)
+    with pytest.raises(ValueError):
+        rg.query_region("myc", 0, 10**9)
