@@ -1,0 +1,238 @@
+"""Device-side FM-index ops (JAX): batched rank, backward extension,
+lockstep seed scanning, and sampled-SA lookup.
+
+These are the TPU-native replacement for libbwa's seeding core
+(``mem_align1``'s SMEM collection, consumed by the reference at
+/root/reference/src/BWAAligner.cpp:104-109).  The FM-index layout is
+shared bit-for-bit with the host :class:`seqlib_tpu.index.FMIndex`
+(and hence with the on-disk bwa .bwt format):
+
+* ``cp_counts`` int32 [n_blocks+1, 4] — occ checkpoints every 128 bases
+* ``bwt_words`` uint32 [n_blocks, 8] — 16 bases/word, first base in the
+  top 2 bits
+
+Rank is two gathers + XLA ``population_count`` on masked words; the
+whole seeding pass is a fixed-trip ``lax.fori_loop`` so one compiled
+program serves every batch.  Everything here is pure JAX (jit/shard_map
+friendly); the Pallas double-buffered variant lives in ops/fm_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceFMIndex:
+    """FM-index arrays resident on device."""
+
+    cp_counts: jax.Array   # int32 [n_blocks+1, 4]
+    bwt_words: jax.Array   # uint32 [n_blocks, 8]
+    sa_samples: jax.Array  # int32 [n_sa]
+    L2: jax.Array          # int32 [5]
+    primary: jax.Array     # int32 scalar
+    seq_len: int           # static python int
+    sa_intv: int           # static python int
+    l_pac: int             # static python int
+
+    def tree_flatten(self):
+        return ((self.cp_counts, self.bwt_words, self.sa_samples,
+                 self.L2, self.primary),
+                (self.seq_len, self.sa_intv, self.l_pac))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_host(cls, idx) -> "DeviceFMIndex":
+        """Upload a host FMIndex (seqlib_tpu.index.FMIndex) to device."""
+        if idx.seq_len >= 2**31:
+            raise NotImplementedError(
+                "device FM-index currently requires seq_len < 2^31 "
+                "(genomes < ~1 Gbp); shard the index for larger refs")
+        sa = idx.sa_samples.astype(np.int64).copy()
+        sa[0] = 0
+        return cls(
+            cp_counts=jnp.asarray(idx.cp_counts.astype(np.int32)),
+            bwt_words=jnp.asarray(idx.bwt_words),
+            sa_samples=jnp.asarray(sa.astype(np.int32)),
+            L2=jnp.asarray(idx.L2.astype(np.int32)),
+            primary=jnp.asarray(np.int32(idx.primary)),
+            seq_len=int(idx.seq_len),
+            sa_intv=int(idx.sa_intv),
+            l_pac=int(idx.l_pac),
+        )
+
+
+# ---------------------------------------------------------------------------
+# rank
+# ---------------------------------------------------------------------------
+
+def _inblock_count(words: jax.Array, c: jax.Array, within: jax.Array
+                   ) -> jax.Array:
+    """Count occurrences of 2-bit code c among the first `within` bases
+    of a 128-base block given its 8 packed words.
+
+    words: uint32 [..., 8]; c: int32 [...]; within: int32 [...] in [0,128].
+    """
+    pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[..., None]
+    x = words ^ pat
+    # base matches iff both of its 2 bits are 0 after xor
+    m = (~x) & ((~x) >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+    # prefix mask per word: word j covers bases [16j, 16j+16), first base
+    # in bits 30..31 -> mask of first t bases = ~0 << (32 - 2t)
+    j16 = jnp.arange(8, dtype=jnp.int32) * 16
+    t = jnp.clip(within[..., None] - j16, 0, 16)
+    mask = jnp.where(
+        t > 0,
+        (jnp.uint32(0xFFFFFFFF) << ((32 - 2 * t).astype(jnp.uint32))),
+        jnp.uint32(0))
+    return jax.lax.population_count(m & mask).sum(axis=-1).astype(jnp.int32)
+
+
+def rank(fm: DeviceFMIndex, c: jax.Array, k: jax.Array) -> jax.Array:
+    """# of c in bwt[0..k-1]; c,k broadcastable int32 arrays,
+    k in [0, seq_len]."""
+    blk = k >> 7
+    within = (k & 127).astype(jnp.int32)
+    base = fm.cp_counts[blk, c]
+    words = fm.bwt_words[jnp.minimum(blk, fm.bwt_words.shape[0] - 1)]
+    return base + _inblock_count(words, c, within)
+
+
+def rank_full(fm: DeviceFMIndex, c: jax.Array, k: jax.Array) -> jax.Array:
+    """Rank over BWT_full (sentinel at row `primary`), k in [0, seq_len+1]."""
+    return rank(fm, c, k - (k > fm.primary).astype(k.dtype))
+
+
+def backward_ext(fm: DeviceFMIndex, l: jax.Array, u: jax.Array,
+                 c: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[l,u) -> interval of c+pattern.  Batched over leading dims."""
+    C = fm.L2[c] + 1
+    return C + rank_full(fm, c, l), C + rank_full(fm, c, u)
+
+
+# ---------------------------------------------------------------------------
+# seed scanning: maximal exact matches ending at e, greedy restart
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_seeds", "min_seed_len"))
+def collect_seeds(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
+                  max_seeds: int = 16, min_seed_len: int = 19):
+    """Lockstep greedy seed scan over a read batch.
+
+    For each read (nt4 codes, padded with 4), scan end position e from
+    len-1 downward; backward-extend to the maximal start s; emit seed
+    [s, e] with its SA interval; restart at e' = s - 2 (skipping the
+    mismatching base).  Fixed trip count L + max_seeds + 2.
+
+    Returns dict of [B, max_seeds] arrays: qbeg, qend (exclusive),
+    intv_l, intv_sz, and [B] n_seeds.
+    """
+    B, L = reads.shape
+    n1 = jnp.int32(fm.seq_len + 1)
+
+    init = dict(
+        e=lens.astype(jnp.int32) - 1,       # current end position
+        p=lens.astype(jnp.int32) - 1,       # next char to consume
+        l=jnp.zeros(B, jnp.int32), u=jnp.full(B, n1, jnp.int32),
+        n=jnp.zeros(B, jnp.int32),          # seeds emitted
+        qbeg=jnp.zeros((B, max_seeds), jnp.int32),
+        qend=jnp.zeros((B, max_seeds), jnp.int32),
+        intv_l=jnp.zeros((B, max_seeds), jnp.int32),
+        intv_sz=jnp.zeros((B, max_seeds), jnp.int32),
+    )
+
+    def emit(st, active, force):
+        """Emit [p+1, e] as a seed where interval nonempty & long enough."""
+        slen = st["e"] - st["p"]
+        ok = active & force & (slen >= min_seed_len) & \
+            (st["u"] > st["l"]) & (st["n"] < max_seeds)
+        sl = jnp.where(ok, st["n"], max_seeds - 1)
+        bidx = jnp.arange(B)
+        def setcol(arr, val):
+            return arr.at[bidx, sl].set(
+                jnp.where(ok, val, arr[bidx, sl]))
+        st = dict(st)
+        st["qbeg"] = setcol(st["qbeg"], st["p"] + 1)
+        st["qend"] = setcol(st["qend"], st["e"] + 1)
+        st["intv_l"] = setcol(st["intv_l"], st["l"])
+        st["intv_sz"] = setcol(st["intv_sz"], st["u"] - st["l"])
+        st["n"] = st["n"] + ok.astype(jnp.int32)
+        return st
+
+    def body(_, st):
+        active = st["e"] >= 0
+        c = jnp.where(active & (st["p"] >= 0),
+                      reads[jnp.arange(B), jnp.maximum(st["p"], 0)],
+                      4).astype(jnp.int32)
+        valid_c = c < 4
+        nl, nu = backward_ext(fm, st["l"], st["u"],
+                              jnp.minimum(c, 3))
+        nl = jnp.where(valid_c, nl, jnp.int32(0))
+        nu = jnp.where(valid_c, nu, jnp.int32(0))
+        dead = nu <= nl
+        hit_start = st["p"] < 0
+        # emit when the extension dies or we ran off the read start
+        st2 = emit(st, active, dead | hit_start)
+        adv = active & ~dead & ~hit_start
+        restart = active & (dead | hit_start)
+        new_e = jnp.where(restart, st["p"] - 1, st2["e"])
+        # after restart: fresh interval, p = new_e
+        out = dict(st2)
+        out["l"] = jnp.where(adv, nl, 0)
+        out["u"] = jnp.where(adv, nu, n1)
+        out["p"] = jnp.where(adv, st["p"] - 1, new_e)
+        out["e"] = jnp.where(restart, new_e, st2["e"])
+        return out
+
+    st = jax.lax.fori_loop(0, L + max_seeds + 2, body, init)
+    return dict(qbeg=st["qbeg"], qend=st["qend"], intv_l=st["intv_l"],
+                intv_sz=st["intv_sz"], n_seeds=st["n"])
+
+
+# ---------------------------------------------------------------------------
+# SA lookup (sampled SA + LF walk)
+# ---------------------------------------------------------------------------
+
+def bwt_char(fm: DeviceFMIndex, r: jax.Array) -> jax.Array:
+    """Stored-bwt code at bwt position r (already sentinel-adjusted)."""
+    word = fm.bwt_words[r >> 7, (r >> 4) & 7]
+    shift = (2 * (15 - (r & 15))).astype(jnp.uint32)
+    return ((word >> shift) & jnp.uint32(3)).astype(jnp.int32)
+
+
+@jax.jit
+def sa_lookup(fm: DeviceFMIndex, ranks: jax.Array) -> jax.Array:
+    """Text positions for an array of ranks via LF-walk to sampled SA.
+
+    Fixed sa_intv iterations with masking; invalid ranks (<0) return -1.
+    """
+    r0 = jnp.maximum(ranks, 0).astype(jnp.int32)
+
+    def body(_, carry):
+        r, steps, done = carry
+        on_sample = (r % fm.sa_intv == 0)
+        at_primary = r == fm.primary
+        newly_done = ~done & (on_sample | at_primary)
+        # LF step for the rest
+        pos_in_bwt = r - (r > fm.primary).astype(jnp.int32)
+        c = bwt_char(fm, jnp.maximum(pos_in_bwt, 0))
+        lf = fm.L2[c] + 1 + rank_full(fm, c, r)
+        r_next = jnp.where(done | newly_done, r, lf)
+        steps_next = jnp.where(done | newly_done, steps, steps + 1)
+        return r_next, steps_next, done | newly_done
+
+    r, steps, done = jax.lax.fori_loop(
+        0, fm.sa_intv, body,
+        (r0, jnp.zeros_like(r0), jnp.zeros_like(r0, dtype=bool)))
+    base = jnp.where(r == fm.primary, 0, fm.sa_samples[r // fm.sa_intv])
+    pos = base + steps
+    return jnp.where(ranks < 0, -1, pos)

@@ -16,6 +16,12 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu";
+# unit tests must run hermetically on the virtual 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REFERENCE_DATA = "/root/reference/tests/data"
 
 import pytest  # noqa: E402

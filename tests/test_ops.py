@@ -1,0 +1,212 @@
+"""Device-op tests (CPU backend): FM rank/extension/seeding/SA-lookup
+parity vs the host FMIndex, and SW kernels vs brute-force numpy DP.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from seqlib_tpu.core.seq import encode_nt4
+from seqlib_tpu.index import FMIndex
+from seqlib_tpu.io.fastq import FastqReader
+from seqlib_tpu.ops.fm import (DeviceFMIndex, backward_ext, collect_seeds,
+                               rank, sa_lookup)
+from seqlib_tpu.ops.sw import (NEG, cigar_from_dirs, extend_batch,
+                               global_batch)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    seqs = [(s.name, s.seq)
+            for s in FastqReader("/root/reference/tests/data/tiny.fa")]
+    idx = FMIndex.construct(seqs)
+    fm = DeviceFMIndex.from_host(idx)
+    cat = "".join(s for _, s in seqs)
+    return idx, fm, cat
+
+
+def test_rank_parity(tiny):
+    idx, fm, _ = tiny
+    rng = np.random.default_rng(0)
+    ks = rng.integers(0, idx.seq_len + 1, 100)
+    for c in range(4):
+        dev = np.asarray(rank(fm, jnp.full(100, c, jnp.int32),
+                              jnp.asarray(ks, jnp.int32)))
+        assert np.array_equal(dev, idx.rank(c, ks))
+
+
+def test_backward_ext_parity(tiny):
+    idx, fm, cat = tiny
+    pat = encode_nt4(cat[3000:3040])
+    l, u = 0, idx.seq_len + 1
+    for c in pat[::-1]:
+        ll, uu = backward_ext(fm, jnp.int32(l), jnp.int32(u),
+                              jnp.int32(int(c)))
+        l, u = int(ll), int(uu)
+    assert (l, u) == idx.search(pat)
+
+
+def test_sa_lookup_parity(tiny):
+    idx, fm, cat = tiny
+    l, u = idx.search(encode_nt4(cat[3000:3040]))
+    ranks = np.arange(l, u)
+    dev = list(np.asarray(sa_lookup(fm, jnp.asarray(ranks, jnp.int32))))
+    assert dev == [idx.sa_lookup(r) for r in ranks]
+
+
+def test_collect_seeds_finds_segments(tiny):
+    idx, fm, cat = tiny
+    rng = np.random.default_rng(1)
+    L = 150
+    reads, poss = [], []
+    while len(reads) < 4:
+        p = int(rng.integers(0, len(cat) - L))
+        s = cat[p:p + L]
+        if "N" in s:
+            continue
+        arr = list(s)
+        arr[70] = "ACGT"[("ACGT".index(arr[70]) + 1) % 4]
+        reads.append("".join(arr))
+        poss.append(p)
+    B = len(reads)
+    enc = np.full((B, L), 4, np.uint8)
+    for i, s in enumerate(reads):
+        enc[i] = encode_nt4(s)
+    out = collect_seeds(fm, jnp.asarray(enc),
+                        jnp.asarray(np.full(B, L, np.int32)))
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for i in range(B):
+        n = out["n_seeds"][i]
+        assert n >= 2
+        segs = {(out["qbeg"][i, j], out["qend"][i, j]) for j in range(n)}
+        assert (0, 70) in segs
+        assert (71, 150) in segs
+        # every reported interval must match host search
+        for j in range(n):
+            qb, qe = out["qbeg"][i, j], out["qend"][i, j]
+            hl, hu = idx.search(enc[i][qb:qe])
+            assert hu - hl == out["intv_sz"][i, j]
+            assert hl == out["intv_l"][i, j]
+
+
+# -- SW ---------------------------------------------------------------------
+
+def _ref_extend(q, t, h0, od=6, ed=1, oi=6, ei=1, ma=1, mi=4):
+    Lq, Lt = len(q), len(t)
+    H = np.full((Lq + 1, Lt + 1), NEG, dtype=np.int64)
+    E = np.full_like(H, NEG)
+    F = np.full_like(H, NEG)
+    H[0, 0] = h0
+    for j in range(1, Lt + 1):
+        v = h0 - od - ed * j
+        H[0, j] = v if v >= 0 else NEG
+    for i in range(1, Lq + 1):
+        H[i, 0] = h0 - oi - ei * i
+        for j in range(1, Lt + 1):
+            E[i, j] = max(H[i, j - 1] - od - ed, E[i, j - 1] - ed)
+            F[i, j] = max(H[i - 1, j] - oi - ei, F[i - 1, j] - ei)
+            s = ma if (q[i - 1] == t[j - 1] and q[i - 1] < 4) else -mi
+            H[i, j] = max(H[i - 1, j - 1] + s, E[i, j], F[i, j])
+    best = H[1:, 1:].max()
+    return best, H[Lq].max()
+
+
+def _ref_global(q, t, od=6, ed=1, oi=6, ei=1, ma=1, mi=4):
+    Lq, Lt = len(q), len(t)
+    BIG = -10**9
+    H = np.full((Lq + 1, Lt + 1), BIG, np.int64)
+    E = np.full_like(H, BIG)
+    F = np.full_like(H, BIG)
+    H[0, 0] = 0
+    for j in range(1, Lt + 1):
+        H[0, j] = -od - ed * j
+    for i in range(1, Lq + 1):
+        H[i, 0] = -oi - ei * i
+        for j in range(1, Lt + 1):
+            E[i, j] = max(H[i, j - 1] - od - ed, E[i, j - 1] - ed)
+            F[i, j] = max(H[i - 1, j] - oi - ei, F[i - 1, j] - ei)
+            s = ma if (q[i - 1] == t[j - 1] and q[i - 1] < 4) else -mi
+            H[i, j] = max(H[i - 1, j - 1] + s, E[i, j], F[i, j])
+    return H[Lq, Lt]
+
+
+@pytest.fixture(scope="module")
+def sw_pairs():
+    rng = np.random.default_rng(3)
+    B, Lq, Lt = 8, 40, 60
+    qs = rng.integers(0, 4, (B, Lq)).astype(np.int8)
+    ts = np.zeros((B, Lt), np.int8)
+    for b in range(B):
+        ts[b, :Lq] = qs[b]
+        for _ in range(3):
+            p = rng.integers(0, Lq)
+            ts[b, p] = (ts[b, p] + 1) % 4
+        ts[b, Lq:] = rng.integers(0, 4, Lt - Lq)
+    return qs, ts
+
+
+def test_extend_batch_vs_bruteforce(sw_pairs):
+    qs, ts = sw_pairs
+    B, Lq = qs.shape
+    Lt = ts.shape[1]
+    out = extend_batch(jnp.asarray(qs), jnp.full(B, Lq, jnp.int32),
+                       jnp.asarray(ts), jnp.full(B, Lt, jnp.int32),
+                       jnp.full(B, 30, jnp.int32))
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for b in range(B):
+        score, gscore = _ref_extend(qs[b], ts[b], 30)
+        assert out["score"][b] == score
+        assert out["gscore"][b] == gscore
+
+
+def test_global_batch_and_traceback(sw_pairs):
+    qs, ts = sw_pairs
+    B, Lq = qs.shape
+    t2 = ts[:, :Lq + 5]
+    score, dirs = global_batch(jnp.asarray(qs), jnp.full(B, Lq, jnp.int32),
+                               jnp.asarray(t2),
+                               jnp.full(B, Lq + 5, jnp.int32))
+    score = np.asarray(score)
+    dirs = np.asarray(dirs)
+    for b in range(B):
+        exp = _ref_global(qs[b], t2[b])
+        assert score[b] == exp
+        cig = cigar_from_dirs(dirs[b], Lq, Lq + 5)
+        qc = sum(l for op, l in cig if op in "MI")
+        tc = sum(l for op, l in cig if op in "MD")
+        assert qc == Lq and tc == Lq + 5
+        # CIGAR must reproduce the optimal score
+        sc = qi = ti = 0
+        for op, ln in cig:
+            if op == "M":
+                for _ in range(ln):
+                    sc += 1 if qs[b][qi] == t2[b][ti] else -4
+                    qi += 1
+                    ti += 1
+            elif op == "I":
+                sc -= 6 + ln
+                qi += ln
+            else:
+                sc -= 6 + ln
+                ti += ln
+        assert sc == exp
+
+
+def test_extend_variable_lengths(sw_pairs):
+    """Padded lanes with shorter qlen/tlen must be handled."""
+    qs, ts = sw_pairs
+    B, Lq = qs.shape
+    Lt = ts.shape[1]
+    qlen = np.full(B, Lq, np.int32)
+    tlen = np.full(B, Lt, np.int32)
+    qlen[0] = 25
+    tlen[1] = 30
+    out = extend_batch(jnp.asarray(qs), jnp.asarray(qlen),
+                       jnp.asarray(ts), jnp.asarray(tlen),
+                       jnp.full(B, 30, jnp.int32))
+    out = {k: np.asarray(v) for k, v in out.items()}
+    s0, g0 = _ref_extend(qs[0][:25], ts[0], 30)
+    assert out["score"][0] == s0 and out["gscore"][0] == g0
+    s1, g1 = _ref_extend(qs[1], ts[1][:30], 30)
+    assert out["score"][1] == s1 and out["gscore"][1] == g1
