@@ -1,0 +1,501 @@
+"""BWA-MEM-style aligner: device-batched seeding + extension + CIGAR.
+
+TPU-native rebuild of the pipeline the reference drives through
+``mem_align1`` + ``mem_reg2aln`` + hand-assembled bam1_t
+(/root/reference/src/BWAAligner.cpp:89-265).  Stages:
+
+1. seed collection on device (ops.fm.collect_seeds — lockstep scan),
+2. SA lookup of seed occurrences on device,
+3. chaining on host (tiny per-read work — align.chain),
+4. left/right affine extension on device (ops.sw.extend_batch) with
+   bwa's soft-clip decision (gscore vs pen_clip),
+5. primary/secondary marking + MAPQ (bwa's mem_approx_mapq_se formula),
+6. banded global alignment on device for CIGARs (ops.sw.global_batch)
+   + host traceback and NM,
+7. record assembly with the reference's exact semantics: clip-op
+   rewrite, revcomp packing for reverse hits, null quals, NA/NM/AS
+   tags, MAPQ-desc sort and keepSecFrac/maxSecondary filtering
+   (BWAAligner.cpp:133-241).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.cigar import Cigar, CigarField
+from ..core.record import BamRecord, FREVERSE, FSECONDARY, FUNMAP
+from ..core.seq import encode_nt4, revcomp
+from ..core.unaligned import UnalignedSequence
+from ..index.fmindex import FMIndex
+from ..index.pack import both_strands
+from ..ops.fm import DeviceFMIndex, collect_seeds, sa_lookup
+from ..ops.sw import cigar_from_dirs, extend_batch, global_batch
+from .chain import chain_seeds, filter_chains
+from .options import AlignerOptions
+
+MAX_SEEDS = 16          # per read from the seed scan
+MAX_OCC_LOCATE = 16     # occurrences located per seed
+MAX_CHAINS = 4          # chains extended per read
+MAX_REGS = 8            # alignment regions kept per read
+
+
+@dataclass
+class AlnReg:
+    """mem_alnreg_t equivalent (coordinates in 2L text space)."""
+    rb: int
+    re: int
+    qb: int
+    qe: int
+    score: int
+    seedcov: int
+    frac_rep: float
+    sub: int = 0
+    csub: int = 0
+    sub_n: int = 0
+    secondary: int = -1
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class BWAAligner:
+    """Single-end BWA-MEM-style aligner over an FMIndex.
+
+    Reference API parity: construct from an index, tweak scoring via
+    the setters on ``self.options``, call ``align_sequence`` (one read,
+    reference-compatible) or ``align_batch`` (the TPU-native path).
+    """
+
+    def __init__(self, index: FMIndex, options: AlignerOptions | None = None):
+        self.index = index
+        self.options = options or AlignerOptions()
+        self.fm = DeviceFMIndex.from_host(index)
+        self.text = both_strands(index.ref.codes)      # host 2L codes
+        self.text_j = jnp.asarray(self.text)
+        self._copy_comment = False
+
+    # -- option setters forwarded (reference-style names) -------------------
+
+    def set_gap_open(self, v): self.options.set_gap_open(v)
+    def set_gap_extension(self, v): self.options.set_gap_extension(v)
+    def set_mismatch_penalty(self, v): self.options.set_mismatch_penalty(v)
+    def set_zdropoff(self, v): self.options.set_zdropoff(v)
+    def set_a_score(self, v): self.options.set_a_score(v)
+    def set_3prime_clipping_penalty(self, v):
+        self.options.set_3prime_clipping_penalty(v)
+    def set_5prime_clipping_penalty(self, v):
+        self.options.set_5prime_clipping_penalty(v)
+    def set_bandwidth(self, v): self.options.set_bandwidth(v)
+    def set_reseed_trigger(self, v): self.options.set_reseed_trigger(v)
+    def set_copy_comment(self, v: bool): self._copy_comment = v
+
+    # ------------------------------------------------------------------
+    # region generation
+    # ------------------------------------------------------------------
+
+    def _collect_regions(self, enc: np.ndarray, lens: np.ndarray
+                         ) -> list[list[AlnReg]]:
+        """enc [B, L] nt4 codes (4-padded); returns per-read region
+        lists (deduped, primary/secondary marked)."""
+        opt = self.options
+        B, L = enc.shape
+        l_pac = self.index.l_pac
+
+        seeds = collect_seeds(self.fm, jnp.asarray(enc),
+                              jnp.asarray(lens.astype(np.int32)),
+                              max_seeds=MAX_SEEDS,
+                              min_seed_len=opt.min_seed_len)
+        seeds = {k: np.asarray(v) for k, v in seeds.items()}
+
+        # locate seed occurrences (device, flat batch)
+        K = MAX_OCC_LOCATE
+        n = seeds["n_seeds"]                               # [B]
+        sz = seeds["intv_sz"]                              # [B, S]
+        il = seeds["intv_l"]
+        seed_valid = (np.arange(MAX_SEEDS)[None, :] < n[:, None]) \
+            & (sz > 0) & (sz <= opt.max_occ)
+        k_take = np.minimum(sz, K)
+        ranks = il[:, :, None] + np.arange(K)[None, None, :]
+        occ_valid = seed_valid[:, :, None] \
+            & (np.arange(K)[None, None, :] < k_take[:, :, None])
+        ranks = np.where(occ_valid, ranks, -1).astype(np.int32)
+        pos = np.asarray(sa_lookup(self.fm, jnp.asarray(ranks.reshape(-1))))
+        pos = pos.reshape(B, MAX_SEEDS, K)
+
+        # host chaining
+        qb_arr, qe_arr = seeds["qbeg"], seeds["qend"]
+        all_chains: list[list] = []
+        frac_reps = np.zeros(B)
+        for b in range(B):
+            occs = []
+            rep_cov = 0
+            for s in range(int(n[b])):
+                if sz[b, s] > opt.max_occ:
+                    rep_cov += qe_arr[b, s] - qb_arr[b, s]
+                    continue
+                if not seed_valid[b, s]:
+                    continue
+                for k in range(int(k_take[b, s])):
+                    p = int(pos[b, s, k])
+                    if p < 0:
+                        continue
+                    qb, qe = int(qb_arr[b, s]), int(qe_arr[b, s])
+                    # occurrence must not span the fwd/rev midpoint
+                    if p < l_pac <= p + (qe - qb):
+                        continue
+                    occs.append((qb, qe, p))
+            frac_reps[b] = rep_cov / max(int(lens[b]), 1)
+            chains = filter_chains(
+                chain_seeds(occs, l_pac, opt.max_chain_gap, opt.w),
+                opt.drop_ratio, opt.min_chain_weight, MAX_CHAINS)
+            all_chains.append(chains)
+
+        # build extension batch over (read, chain)
+        entries = [(b, ch) for b in range(B) for ch in all_chains[b]]
+        regions: list[list[AlnReg]] = [[] for _ in range(B)]
+        if entries:
+            regs = self._extend_entries(enc, lens, entries, frac_reps)
+            for b, reg in regs:
+                regions[b].append(reg)
+        for b in range(B):
+            regions[b] = self._dedup_and_mark(regions[b])
+        return regions
+
+    def _extend_entries(self, enc, lens, entries, frac_reps):
+        opt = self.options
+        l_pac = self.index.l_pac
+        L = enc.shape[1]
+        M = len(entries)
+        TW = L + opt.w + 1    # max target window per side
+
+        lq = np.zeros(M, np.int32)
+        lt = np.zeros(M, np.int32)
+        q_l = np.full((M, L), 4, np.uint8)
+        t_l = np.full((M, TW), 4, np.uint8)
+        h0 = np.zeros(M, np.int32)
+        anchors = []
+        for m, (b, ch) in enumerate(entries):
+            aq, alen, ar = ch.anchor
+            anchors.append((b, ch, aq, alen, ar))
+            h0[m] = alen * opt.a
+            # left extension: reversed prefixes
+            strand_floor = l_pac if ar >= l_pac else 0
+            wl = min(aq + opt.w, ar - strand_floor)
+            lq[m] = aq
+            lt[m] = wl
+            if aq:
+                q_l[m, :aq] = enc[b, :aq][::-1]
+            if wl:
+                t_l[m, :wl] = self.text[ar - wl:ar][::-1]
+        out_l = extend_batch(jnp.asarray(q_l), jnp.asarray(lq),
+                             jnp.asarray(t_l), jnp.asarray(lt),
+                             jnp.asarray(h0),
+                             o_del=opt.o_del, e_del=opt.e_del,
+                             o_ins=opt.o_ins, e_ins=opt.e_ins,
+                             match=opt.a, mismatch=opt.b)
+        out_l = {k: np.asarray(v) for k, v in out_l.items()}
+
+        # clip decision (left = read 5'):
+        qb = np.zeros(M, np.int64)
+        rb = np.zeros(M, np.int64)
+        score_l = np.zeros(M, np.int64)
+        for m, (b, ch, aq, alen, ar) in enumerate(anchors):
+            if lq[m] == 0:
+                qb[m], rb[m], score_l[m] = aq, ar, h0[m]
+                continue
+            sc, qle, tle = out_l["score"][m], out_l["qle"][m], out_l["tle"][m]
+            gsc, gtle = out_l["gscore"][m], out_l["gtle"][m]
+            if gsc <= 0 or gsc <= sc - opt.pen_clip5:
+                qb[m], rb[m], score_l[m] = aq - qle, ar - tle, sc
+            else:
+                qb[m], rb[m], score_l[m] = 0, ar - gtle, gsc
+
+        # right extension
+        lq2 = np.zeros(M, np.int32)
+        lt2 = np.zeros(M, np.int32)
+        q_r = np.full((M, L), 4, np.uint8)
+        t_r = np.full((M, TW), 4, np.uint8)
+        for m, (b, ch, aq, alen, ar) in enumerate(anchors):
+            qstart = aq + alen
+            rstart = ar + alen
+            rlen = int(lens[b]) - qstart
+            strand_ceil = l_pac if ar < l_pac else 2 * l_pac
+            wr = min(rlen + opt.w, strand_ceil - rstart)
+            lq2[m] = rlen
+            lt2[m] = wr
+            if rlen:
+                q_r[m, :rlen] = enc[b, qstart:qstart + rlen]
+            if wr:
+                t_r[m, :wr] = self.text[rstart:rstart + wr]
+        out_r = extend_batch(jnp.asarray(q_r), jnp.asarray(lq2),
+                             jnp.asarray(t_r), jnp.asarray(lt2),
+                             jnp.asarray(score_l.astype(np.int32)),
+                             o_del=opt.o_del, e_del=opt.e_del,
+                             o_ins=opt.o_ins, e_ins=opt.e_ins,
+                             match=opt.a, mismatch=opt.b)
+        out_r = {k: np.asarray(v) for k, v in out_r.items()}
+
+        results = []
+        for m, (b, ch, aq, alen, ar) in enumerate(anchors):
+            qstart = aq + alen
+            rstart = ar + alen
+            if lq2[m] == 0:
+                qe, re, score = qstart, rstart, int(score_l[m])
+            else:
+                sc, qle, tle = (out_r["score"][m], out_r["qle"][m],
+                                out_r["tle"][m])
+                gsc, gtle = out_r["gscore"][m], out_r["gtle"][m]
+                if gsc <= 0 or gsc <= sc - opt.pen_clip3:
+                    qe, re, score = qstart + qle, rstart + tle, int(sc)
+                else:
+                    qe, re, score = int(lens[b]), rstart + gtle, int(gsc)
+            results.append((b, AlnReg(int(rb[m]), int(re), int(qb[m]),
+                                      int(qe), score, ch.weight,
+                                      float(frac_reps[b]))))
+        return results
+
+    def _dedup_and_mark(self, regs: list[AlnReg]) -> list[AlnReg]:
+        """mem_sort_dedup + mem_mark_primary_se semantics."""
+        opt = self.options
+        # dedup near-identical regions
+        regs = sorted(regs, key=lambda r: (-r.score, r.rb, r.qb))
+        out: list[AlnReg] = []
+        for r in regs:
+            dup = False
+            for o in out:
+                if max(r.rb, o.rb) < min(r.re, o.re):
+                    inter = min(r.re, o.re) - max(r.rb, o.rb)
+                    minw = min(r.re - r.rb, o.re - o.rb)
+                    if inter >= opt.mask_level_redun * minw \
+                            and max(r.qb, o.qb) < min(r.qe, o.qe):
+                        dup = True
+                        break
+            if not dup:
+                out.append(r)
+        # mark primary/secondary by query overlap
+        kept: list[int] = []
+        for i, r in enumerate(out):
+            placed = False
+            for k in kept:
+                p = out[k]
+                bmax, emin = max(r.qb, p.qb), min(r.qe, p.qe)
+                if emin > bmax:
+                    minl = min(r.qe - r.qb, p.qe - p.qb)
+                    if emin - bmax >= opt.mask_level * minl:
+                        r.secondary = k
+                        if p.sub == 0:
+                            p.sub = r.score
+                        if p.score - r.score <= opt.a:
+                            p.sub_n += 1
+                        placed = True
+                        break
+            if not placed:
+                kept.append(i)
+        return out[:MAX_REGS]
+
+    # ------------------------------------------------------------------
+    # MAPQ (bwa mem_approx_mapq_se)
+    # ------------------------------------------------------------------
+
+    def _mapq(self, r: AlnReg) -> int:
+        opt = self.options
+        sub = r.sub if r.sub else opt.min_seed_len * opt.a
+        sub = max(sub, r.csub)
+        if sub >= r.score:
+            return 0
+        length = max(r.qe - r.qb, r.re - r.rb)
+        identity = 1.0 - float(length * opt.a - r.score) \
+            / (opt.a + opt.b) / length
+        if r.score == 0:
+            mapq = 0
+        else:
+            tmp = 1.0 if length < opt.mapQ_coef_len \
+                else opt.mapQ_coef_fac / math.log(length)
+            tmp *= identity * identity
+            mapq = int(6.02 * (r.score - sub) / opt.a * tmp * tmp + 0.499)
+        if r.sub_n > 0:
+            mapq -= int(4.343 * math.log(r.sub_n + 1) + 0.499)
+        mapq = min(mapq, 60)
+        mapq = max(mapq, 0)
+        mapq = int(mapq * (1.0 - r.frac_rep) + 0.499)
+        return mapq
+
+    # ------------------------------------------------------------------
+    # CIGAR + record assembly
+    # ------------------------------------------------------------------
+
+    def _regions_to_hits(self, enc, lens, names, seqs, regions):
+        """Global-align every region, build per-read hit dicts."""
+        opt = self.options
+        flat = [(b, r) for b, rs in enumerate(regions) for r in rs]
+        hits_per_read: list[list[dict]] = [[] for _ in range(len(regions))]
+        if not flat:
+            return hits_per_read
+        Lq = max(max(r.qe - r.qb for _, r in flat), 1)
+        Lt = max(max(r.re - r.rb for _, r in flat), 1)
+        M = len(flat)
+        q = np.full((M, Lq), 4, np.uint8)
+        t = np.full((M, Lt), 4, np.uint8)
+        ql = np.zeros(M, np.int32)
+        tl = np.zeros(M, np.int32)
+        for m, (b, r) in enumerate(flat):
+            ql[m] = r.qe - r.qb
+            tl[m] = r.re - r.rb
+            q[m, :ql[m]] = enc[b, r.qb:r.qe]
+            t[m, :tl[m]] = self.text[r.rb:r.re]
+        band = max(opt.w, int(np.abs(ql - tl).max()) + 2)
+        score, dirs = global_batch(
+            jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t), jnp.asarray(tl),
+            o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+            e_ins=opt.e_ins, match=opt.a, mismatch=opt.b, band=band)
+        dirs = np.asarray(dirs)
+
+        l_pac = self.index.l_pac
+        for m, (b, r) in enumerate(flat):
+            cig2l = cigar_from_dirs(dirs[m], int(ql[m]), int(tl[m]))
+            # NM: walk the alignment
+            nm = 0
+            qi = ti = 0
+            qq, tt = q[m], t[m]
+            for op, ln in cig2l:
+                if op == "M":
+                    nm += int((qq[qi:qi + ln] != tt[ti:ti + ln]).sum())
+                    qi += ln
+                    ti += ln
+                elif op == "I":
+                    nm += ln
+                    qi += ln
+                else:
+                    nm += ln
+                    ti += ln
+            is_rev = r.rb >= l_pac
+            L = int(lens[b])
+            if is_rev:
+                cig_sam = list(reversed(cig2l))
+                clip5, clip3 = L - r.qe, r.qb
+                pos2l = 2 * l_pac - r.re
+            else:
+                cig_sam = cig2l
+                clip5, clip3 = r.qb, L - r.qe
+                pos2l = r.rb
+            rid, pos = self.index.pos_to_ref(pos2l)
+            # region crossing a contig boundary: drop (bwa trims/flags)
+            ref_len = self.index.ref.anns[rid].length
+            if pos + (r.re - r.rb) > ref_len:
+                continue
+            full = ([("N", clip5)] if clip5 else []) + cig_sam \
+                + ([("N", clip3)] if clip3 else [])
+            # secondary alignments carry mapq 0 (bwa mem_reg2aln)
+            mapq = self._mapq(r) if r.secondary < 0 else 0
+            hits_per_read[b].append(dict(
+                rid=rid, pos=pos, is_rev=is_rev, score=r.score,
+                mapq=mapq, secondary=r.secondary >= 0,
+                cigar=full, nm=nm, n_regs=len(regions[b])))
+        return hits_per_read
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def align_batch(self, seqs: list[str], names: list[str],
+                    hardclip: bool = False, keep_sec_frac: float = 0.9,
+                    max_secondary: int = 10) -> list[list[BamRecord]]:
+        """Align a batch of reads; returns per-read BamRecord lists with
+        the reference's sort/filter semantics
+        (BWAAligner.cpp:133-241)."""
+        B = len(seqs)
+        if B == 0:
+            return []
+        L = _round_up(max(len(s) for s in seqs), 32)
+        enc = np.full((B, L), 4, np.uint8)
+        lens = np.zeros(B, np.int64)
+        for i, s in enumerate(seqs):
+            e = encode_nt4(s)
+            enc[i, :len(e)] = e
+            lens[i] = len(e)
+        regions = self._collect_regions(enc, lens)
+        # keepSecFrac outside [0,1] drops secondaries before conversion
+        if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
+            regions = [[r for r in rs if r.secondary < 0] for rs in regions]
+        hits_per_read = self._regions_to_hits(enc, lens, names, seqs,
+                                              regions)
+        out = []
+        for b in range(B):
+            out.append(self._assemble_records(
+                seqs[b], names[b], hits_per_read[b], hardclip,
+                keep_sec_frac, max_secondary))
+        return out
+
+    def align_sequence(self, seq, name: str = "", out: list | None = None,
+                       hardclip: bool = False, keep_sec_frac: float = 0.9,
+                       max_secondary: int = 10) -> list[BamRecord]:
+        """Reference-compatible single-read API
+        (alignSequence BWAAligner.cpp:89-252).  Accepts a sequence
+        string or an UnalignedSequence."""
+        if isinstance(seq, UnalignedSequence):
+            us = seq
+            recs = self.align_sequence(us.seq, us.name, None, hardclip,
+                                       keep_sec_frac, max_secondary)
+            if self._copy_comment:
+                for r in recs:
+                    r.add_z_tag("BC", us.com)
+            if out is not None:
+                out.extend(recs)
+            return recs
+        recs = self.align_batch([seq], [name], hardclip, keep_sec_frac,
+                                max_secondary)[0]
+        if out is not None:
+            out.extend(recs)
+        return recs
+
+    def _assemble_records(self, seq: str, name: str, hits: list[dict],
+                          hardclip: bool, keep_sec_frac: float,
+                          max_secondary: int) -> list[BamRecord]:
+        # sort: MAPQ desc, then rid, then pos (BWAAligner.cpp:6-12)
+        hits = sorted(hits, key=lambda h: (-h["mapq"], h["rid"], h["pos"]))
+        out: list[BamRecord] = []
+        primary_score = 0.0
+        for i, h in enumerate(hits):
+            is_sec = h["secondary"]
+            too_low = is_sec and (primary_score * keep_sec_frac > h["score"])
+            too_many = is_sec and (i > max_secondary)
+            if too_low or too_many:
+                continue
+            if not is_sec:
+                primary_score = h["score"]
+            rec = BamRecord()
+            rec.qname = name
+            rec.tid = h["rid"]
+            rec.pos = h["pos"]
+            rec.mapq = h["mapq"]
+            rec.flag = (FSECONDARY if is_sec else 0) \
+                | (FREVERSE if h["is_rev"] else 0)
+            # clip handling: N placeholder -> S or H
+            # (BWAAligner.cpp:164-202)
+            clip_op = "H" if hardclip else "S"
+            fields = []
+            clipped = seq
+            if hardclip:
+                tstart = 0
+                clen = 0
+                for k, (op, ln) in enumerate(h["cigar"]):
+                    if k == 0 and op == "N":
+                        tstart = ln
+                    elif op in ("M", "I", "S", "=", "X"):
+                        clen += ln
+                clipped = seq[tstart:tstart + clen] if clen else seq
+            for op, ln in h["cigar"]:
+                fields.append(CigarField(clip_op if op == "N" else op, ln))
+            rec.cigar = Cigar(fields)
+            rec.seq = revcomp(clipped) if h["is_rev"] else clipped.upper()
+            rec.qual = None
+            rec.add_int_tag("NA", h["n_regs"])
+            rec.add_int_tag("NM", h["nm"])
+            rec.add_int_tag("AS", h["score"])
+            out.append(rec)
+        return out

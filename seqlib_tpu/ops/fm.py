@@ -213,26 +213,32 @@ def bwt_char(fm: DeviceFMIndex, r: jax.Array) -> jax.Array:
 def sa_lookup(fm: DeviceFMIndex, ranks: jax.Array) -> jax.Array:
     """Text positions for an array of ranks via LF-walk to sampled SA.
 
-    Fixed sa_intv iterations with masking; invalid ranks (<0) return -1.
+    Sampling is by *rank* (isa % sa_intv == 0), so the walk length is
+    geometric (mean sa_intv) and unbounded in the worst case — iterate
+    a while_loop until every lane lands on a sample or on the primary
+    row, with a generous safety cap.
     """
     r0 = jnp.maximum(ranks, 0).astype(jnp.int32)
+    done0 = (r0 % fm.sa_intv == 0) | (r0 == fm.primary)
 
-    def body(_, carry):
-        r, steps, done = carry
-        on_sample = (r % fm.sa_intv == 0)
-        at_primary = r == fm.primary
-        newly_done = ~done & (on_sample | at_primary)
-        # LF step for the rest
+    def cond(carry):
+        _, _, done, it = carry
+        return (~jnp.all(done)) & (it < 64 * fm.sa_intv)
+
+    def body(carry):
+        r, steps, done, it = carry
         pos_in_bwt = r - (r > fm.primary).astype(jnp.int32)
         c = bwt_char(fm, jnp.maximum(pos_in_bwt, 0))
         lf = fm.L2[c] + 1 + rank_full(fm, c, r)
-        r_next = jnp.where(done | newly_done, r, lf)
-        steps_next = jnp.where(done | newly_done, steps, steps + 1)
-        return r_next, steps_next, done | newly_done
+        r_next = jnp.where(done, r, lf)
+        steps_next = jnp.where(done, steps, steps + 1)
+        done_next = done | (r_next % fm.sa_intv == 0) \
+            | (r_next == fm.primary)
+        return r_next, steps_next, done_next, it + 1
 
-    r, steps, done = jax.lax.fori_loop(
-        0, fm.sa_intv, body,
-        (r0, jnp.zeros_like(r0), jnp.zeros_like(r0, dtype=bool)))
+    r, steps, _, _ = jax.lax.while_loop(
+        cond, body,
+        (r0, jnp.zeros_like(r0), done0, jnp.int32(0)))
     base = jnp.where(r == fm.primary, 0, fm.sa_samples[r // fm.sa_intv])
     pos = base + steps
     return jnp.where(ranks < 0, -1, pos)
