@@ -1,0 +1,94 @@
+"""Benchmark: end-to-end single-chip alignment throughput.
+
+Runs on the real TPU (default JAX platform).  Workload = BASELINE.md
+config 1 scaled up: in-memory FM-index of tiny.fa (355 kbp, the
+reference's own test genome), align wgsim-simulated 150 bp reads
+(tests/data/sim1_bcr.fq) through the full pipeline — device seed scan,
+SA lookup, affine extension, banded global alignment for CIGARs, host
+record assembly.
+
+Prints ONE JSON line:  {"metric", "value", "unit", "vs_baseline"}.
+Baseline = bwa-mem single CPU core on 150 bp reads (~5,000 reads/s,
+README-class hardware; see BASELINE.md).  Supplementary numbers
+(SW cell rate, seed rate) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BWA_MEM_READS_PER_SEC_BASELINE = 5000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from seqlib_tpu.io.fastq import FastqReader
+    from seqlib_tpu.index import FMIndex
+    from seqlib_tpu.align import BWAAligner
+    from seqlib_tpu.ops.sw import extend_batch
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    data = "/root/reference/tests/data"
+    t0 = time.time()
+    seqs = [(s.name, s.seq) for s in FastqReader(f"{data}/tiny.fa")]
+    idx = FMIndex.construct(seqs)
+    print(f"index construct: {time.time()-t0:.2f}s", file=sys.stderr)
+
+    aln = BWAAligner(idx)
+    reads = list(FastqReader(f"{data}/sim1_bcr.fq"))
+    names = [r.name for r in reads]
+    rseqs = [r.seq for r in reads]
+
+    B = 512
+    # warmup/compile
+    t0 = time.time()
+    aln.align_batch(rseqs[:B], names[:B])
+    print(f"warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    n_bench = min(4096, len(reads))
+    t0 = time.time()
+    out = []
+    for i in range(0, n_bench, B):
+        out.extend(aln.align_batch(rseqs[i:i + B], names[i:i + B]))
+    dt = time.time() - t0
+    reads_per_s = n_bench / dt
+    mapped = sum(1 for rs in out if rs)
+    print(f"e2e: {n_bench} reads in {dt:.2f}s -> {reads_per_s:.0f} reads/s "
+          f"({mapped}/{n_bench} mapped)", file=sys.stderr)
+
+    # supplementary: raw SW extension cell rate on chip
+    rng = np.random.default_rng(0)
+    Bs, Lq, Lt = 1024, 150, 250
+    q = jnp.asarray(rng.integers(0, 4, (Bs, Lq)).astype(np.int8))
+    t = jnp.asarray(rng.integers(0, 4, (Bs, Lt)).astype(np.int8))
+    ql = jnp.full(Bs, Lq, jnp.int32)
+    tl = jnp.full(Bs, Lt, jnp.int32)
+    h0 = jnp.full(Bs, 30, jnp.int32)
+    extend_batch(q, ql, t, tl, h0)["score"].block_until_ready()  # compile
+    t0 = time.time()
+    iters = 20
+    for _ in range(iters):
+        extend_batch(q, ql, t, tl, h0)["score"].block_until_ready()
+    dt = time.time() - t0
+    gcups = Bs * Lq * Lt * iters / dt / 1e9
+    print(f"sw extension: {gcups:.2f} Gcells/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "reads_aligned_per_sec_per_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BWA_MEM_READS_PER_SEC_BASELINE,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

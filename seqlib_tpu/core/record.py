@@ -445,11 +445,11 @@ class BamRecord:
         return self.isize
 
     def full_insert_size(self) -> int:
-        """Insert size covering both reads fully (reference semantics:
-        distance from leftmost start to rightmost end for FR pairs)."""
+        """|pos - mpos| + query length, 0 when interchromosomal or not
+        both mapped (parity: FullInsertSize BamRecord.h:408-415)."""
         if self.tid != self.mtid or not self.pair_mapped_flag():
             return 0
-        return abs(self.isize)
+        return abs(self.pos - self.mpos) + self.cigar.num_query_consumed()
 
     def __lt__(self, other: "BamRecord") -> bool:
         return (self.tid, self.pos) < (other.tid, other.pos)
