@@ -1,0 +1,234 @@
+"""Aligner tests: unit behaviors + accuracy on reference wgsim reads +
+a full integration fixture (simulate -> align -> pair -> write BAM ->
+region-seek) replicating /root/reference/tests/test_BamReader.cpp
+expectations proportionally.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from seqlib_tpu.align import AlignerOptions, BWAAligner
+from seqlib_tpu.align.pairing import mark_supplementary, pair_up
+from seqlib_tpu.core import BamHeader, GenomicRegion
+from seqlib_tpu.core.record import sort_by_position
+from seqlib_tpu.core.seq import revcomp
+from seqlib_tpu.index import FMIndex
+from seqlib_tpu.io import BamReader, BamWriter, FastqReader
+from seqlib_tpu.sim import simulate_pairs
+
+DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture(scope="module")
+def tiny_seqs():
+    return [(s.name, s.seq) for s in FastqReader(f"{DATA}/tiny.fa")]
+
+
+@pytest.fixture(scope="module")
+def aligner(tiny_seqs):
+    return BWAAligner(FMIndex.construct(tiny_seqs))
+
+
+def test_perfect_read(aligner, tiny_seqs):
+    cat = dict(tiny_seqs)
+    recs = aligner.align_sequence(cat["bcr"][5000:5150], "r1")
+    assert recs
+    r = recs[0]
+    assert (r.tid, r.pos, str(r.cigar)) == (0, 5000, "150M")
+    assert r.mapq >= 50
+    assert r.get_int_tag("NM") == 0
+    assert r.get_int_tag("AS") == 150
+    assert r.qual is None
+
+
+def test_reverse_strand(aligner, tiny_seqs):
+    cat = dict(tiny_seqs)
+    recs = aligner.align_sequence(revcomp(cat["abl"][10000:10150]), "r2")
+    r = recs[0]
+    assert (r.tid, r.pos) == (1, 10000)
+    assert r.reverse_flag()
+    assert r.seq == cat["abl"][10000:10150]  # stored as revcomp of read
+
+
+def test_mismatch_and_softclip(aligner, tiny_seqs):
+    cat = dict(tiny_seqs)
+    arr = list(cat["tp53"][2000:2140])
+    arr[50] = "ACGT"[("ACGT".index(arr[50]) + 1) % 4]
+    recs = aligner.align_sequence("".join(arr) + "GTACGTACGT" , "r3")
+    r = recs[0]
+    assert (r.tid, r.pos) == (2, 2000)
+    assert not r.secondary_flag()
+    assert r.get_int_tag("NM") == 1
+    assert str(r.cigar).endswith("S")
+
+
+def test_indels(aligner, tiny_seqs):
+    cat = dict(tiny_seqs)
+    readD = cat["myc"][1000:1060] + cat["myc"][1065:1155]
+    r = aligner.align_sequence(readD, "rD")[0]
+    assert (r.tid, r.pos) == (3, 1000) and "5D" in str(r.cigar)
+    readI = cat["bcr"][20000:20070] + "ACGTA" + cat["bcr"][20070:20145]
+    r = aligner.align_sequence(readI, "rI")[0]
+    assert (r.tid, r.pos) == (0, 20000) and "5I" in str(r.cigar)
+
+
+def test_hardclip_mode(aligner, tiny_seqs):
+    cat = dict(tiny_seqs)
+    read = "GGTTGGTTGGTT" + cat["bcr"][30000:30140]
+    soft = aligner.align_sequence(read, "rs", hardclip=False)[0]
+    hard = aligner.align_sequence(read, "rh", hardclip=True)[0]
+    assert "S" in str(soft.cigar)
+    assert "H" in str(hard.cigar)
+    assert len(hard.seq) < len(soft.seq)
+
+
+def test_unmappable_read_returns_empty(aligner):
+    recs = aligner.align_sequence("ACGT" * 30, "junk")
+    # tandem ACGT repeat either maps nowhere or everywhere (mapq 0)
+    assert all(r.mapq == 0 or r.secondary_flag() for r in recs) or not recs
+
+
+def test_align_unaligned_sequence_api(aligner, tiny_seqs):
+    from seqlib_tpu.core import UnalignedSequence
+    cat = dict(tiny_seqs)
+    us = UnalignedSequence("q", cat["bcr"][1000:1150], "I" * 150)
+    out = []
+    recs = aligner.align_sequence(us, out=out)
+    assert out and out[0].pos == 1000
+
+
+def test_options_setters_validate():
+    o = AlignerOptions()
+    with pytest.raises(ValueError):
+        o.set_gap_open(-1)
+    with pytest.raises(ValueError):
+        o.set_bandwidth(-1)
+    o.set_a_score(2)
+    assert o.b == 8 and o.T == 60 and o.o_del == 12 and o.zdrop == 200
+
+
+def test_wgsim_accuracy(aligner):
+    """>=99% of the reference's own simulated reads align to the truth
+    position (BASELINE.md correctness proxy)."""
+    reads = []
+    for i, rec in enumerate(FastqReader(f"{DATA}/sim1_bcr.fq")):
+        reads.append(rec)
+        if len(reads) >= 200:
+            break
+
+    def truth(p):
+        return ("bcr", 42442 + p) if p < 34887 \
+            else ("abl", 144845 + p - 34887)
+
+    hdr = aligner.index.header_from_index()
+    results = aligner.align_batch([r.seq for r in reads],
+                                  [r.name for r in reads])
+    ok = 0
+    for rec, recs in zip(reads, results):
+        parts = rec.name.split("_")
+        beg, end = int(parts[1]), int(parts[2])
+        cand = [truth(beg - 1), truth(end - 150)]
+        prim = [r for r in recs if not r.secondary_flag()]
+        if not prim:
+            continue
+        r = prim[0]
+        cn = hdr.id2name(r.tid)
+        if any(cn == c and abs(r.pos - p) <= 25 for c, p in cand):
+            ok += 1
+    assert ok >= 0.98 * len(reads), f"accuracy {ok}/{len(reads)}"
+
+
+# -- integration fixture: simulate -> align -> BAM -> reread ---------------
+
+@pytest.fixture(scope="module")
+def sim_bam(tmp_path_factory, aligner, tiny_seqs):
+    """A mini sim.sorted.bam built entirely with this framework."""
+    tmp = tmp_path_factory.mktemp("simbam")
+    path = str(tmp / "sim.sorted.bam")
+    r1, r2 = simulate_pairs(tiny_seqs, 192, seed=11)
+    # add fusion reads (split + interchromosomal vs tiny.fa)
+    bcr1 = list(FastqReader(f"{DATA}/sim1_bcr.fq"))
+    bcr2 = list(FastqReader(f"{DATA}/sim2_bcr.fq"))
+    # prefer pairs spanning the BCR-ABL fusion breakpoint (pos 34887 of
+    # the fusion contig, wgsim.sh:38): they yield split (supplementary)
+    # and interchromosomal records vs tiny.fa
+    def spans(rec):
+        _, beg, end = rec.name.split("_")[:3]
+        return int(beg) < 34887 < int(end)
+    spanning = [i for i, rec in enumerate(bcr1) if spans(rec)]
+    rest = [i for i in range(len(bcr1)) if i not in set(spanning)]
+    pick = (spanning + rest)[:64]
+    r1 += [bcr1[i] for i in pick]
+    r2 += [bcr2[i] for i in pick]
+    hdr = aligner.index.header_from_index()
+    out1 = aligner.align_batch([r.seq for r in r1], [r.name for r in r1])
+    out2 = aligner.align_batch([r.seq for r in r2], [r.name for r in r2])
+    allrecs = []
+    for recs1, recs2 in zip(out1, out2):
+        mark_supplementary(recs1)
+        mark_supplementary(recs2)
+        pair_up(recs1, recs2)
+        allrecs.extend(recs1)
+        allrecs.extend(recs2)
+    allrecs = sort_by_position(allrecs)
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    w.enable_indexing()
+    for r in allrecs:
+        w.write_record(r)
+    w.close()
+    return path, len(allrecs)
+
+
+def test_sim_bam_header(sim_bam):
+    path, _ = sim_bam
+    rd = BamReader(path)
+    hdr = rd.header()
+    assert hdr.num_sequences() == 4
+    assert hdr.id2name(0) == "bcr"
+    assert hdr.id2name(1) == "abl"
+    rd.close()
+
+
+def test_sim_bam_flags_present(sim_bam):
+    """Parity with test_BamReader.cpp:19-51: supplementary, paired,
+    interchromosomal records all present."""
+    path, n = sim_bam
+    rd = BamReader(path)
+    has_supp = has_paired = has_inter = False
+    count = 0
+    for rec in iter(rd.next, None):
+        assert rec.tid < 4
+        count += 1
+        if rec.supplementary_flag():
+            has_supp = True
+        if rec.paired_flag():
+            has_paired = True
+        if rec.interchromosomal():
+            has_inter = True
+    assert count == n and count > 0
+    assert has_supp and has_paired and has_inter
+    assert rd.next() is None
+    rd.close()
+
+
+def test_sim_bam_reset_and_regions(sim_bam):
+    path, n = sim_bam
+    rd = BamReader(path)
+    pass1 = sum(1 for _ in iter(rd.next, None))
+    rd.reset()
+    pass2 = sum(1 for _ in iter(rd.next, None))
+    assert pass1 == pass2 == n
+    # region seek over the covered area
+    from seqlib_tpu.intervals import GRC
+    rd.reset()
+    grc = GRC()
+    grc.add(GenomicRegion(0, 42000, 78000))
+    grc.add(GenomicRegion(1, 140000, 165000))
+    rd.set_regions(grc)
+    seek_count = sum(1 for _ in iter(rd.next, None))
+    assert seek_count > 64
+    rd.close()
