@@ -1,0 +1,184 @@
+"""seqtools-equivalent CLI: bfc / fml subcommands.
+
+Parity target: /root/reference/src/seqtools/seqtools.cpp — ``bfc``
+streams reads (BAM/SAM or FASTA/FASTQ), BFC-corrects them, and either
+emits FASTA or realigns against a reference with the BWA-MEM engine
+into SAM/BAM; ``fml`` additionally assembles corrected reads into
+contigs before realignment.  Flags -v/-f/-b/-C/-F/-G/-T mirror
+seqtools.cpp:69-80.  Adds an ``align`` subcommand (plain bwa-mem-style
+mapping) and ``index`` (build/store the FM-index), which the reference
+leaves to external bwa.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .align import BWAAligner
+from .align.pairing import mark_supplementary
+from .assembly import BFC, FermiAssembler
+from .core.unaligned import UnalignedSequence
+from .index import FMIndex
+from .io import BAM, CRAM, SAM, BamReader, BamWriter, FastqReader
+
+
+def _read_input(args) -> list[UnalignedSequence]:
+    seqs: list[UnalignedSequence] = []
+    if args.infasta:
+        for rec in FastqReader(args.infasta):
+            seqs.append(rec)
+    else:
+        rd = BamReader()
+        if not rd.open(args.input or "-"):
+            sys.exit(f"cannot open input {args.input}")
+        for rec in iter(rd.next, None):
+            seqs.append(UnalignedSequence(rec.qname, rec.seq,
+                                          rec.qualities()))
+    return seqs
+
+
+def _emit(seqs, names, args, tag: str) -> None:
+    """Correctable output: FASTA, or realign + SAM/BAM."""
+    if args.fasta or not args.reference:
+        out = sys.stdout
+        for name, s in zip(names, seqs):
+            out.write(f">{name}\n{s}\n")
+        return
+    idx = FMIndex.load(args.reference) if _has_index(args.reference) \
+        else FMIndex.construct(_load_fasta(args.reference))
+    aln = BWAAligner(idx)
+    hdr = idx.header_from_index()
+    fmt = BAM if args.bam else (CRAM if args.cram else SAM)
+    w = BamWriter(fmt)
+    w.open(args.output or "-")
+    w.set_header(hdr)
+    w.write_header()
+    B = 512
+    n = 0
+    for i in range(0, len(seqs), B):
+        chunk = seqs[i:i + B]
+        cnames = names[i:i + B]
+        results = aln.align_batch(chunk, cnames, hardclip=False,
+                                  keep_sec_frac=0.9, max_secondary=10)
+        for recs in results:
+            mark_supplementary(recs)
+            for r in recs:
+                w.write_record(r)
+                n += 1
+        if args.verbose:
+            print(f"...aligned {i + len(chunk)} sequences",
+                  file=sys.stderr)
+    w.close()
+    if args.verbose:
+        print(f"{tag}: wrote {n} records", file=sys.stderr)
+
+
+def _has_index(prefix: str) -> bool:
+    import os
+    return all(os.path.exists(prefix + e)
+               for e in (".bwt", ".pac", ".sa", ".ann", ".amb"))
+
+
+def _load_fasta(path: str):
+    return [(r.name, r.seq) for r in FastqReader(path)]
+
+
+def run_bfc(args) -> None:
+    """(parity: runbfc seqtools.cpp:214-326)"""
+    seqs = _read_input(args)
+    b = BFC()
+    for u in seqs:
+        b.add_sequence(u.seq, u.qual, u.name)
+    if args.verbose:
+        print(f"...loaded {b.num_sequences()} sequences", file=sys.stderr)
+    b.train()
+    b.error_correct()
+    if args.verbose:
+        print(f"...corrected (k={b.get_kmer()}, kcov={b.get_kcov():.1f})",
+              file=sys.stderr)
+    corrected, names = [], []
+    b.reset_get_sequence()
+    while True:
+        nxt = b.get_sequence()
+        if nxt is None:
+            break
+        corrected.append(nxt[0])
+        names.append(nxt[1])
+    _emit(corrected, names, args, "bfc")
+
+
+def run_fml(args) -> None:
+    """(parity: runfml seqtools.cpp:106-212)"""
+    seqs = _read_input(args)
+    f = FermiAssembler()
+    f.add_reads(seqs)
+    if args.verbose:
+        print(f"...loaded {f.num_sequences()} sequences", file=sys.stderr)
+    f.correct_reads()
+    f.perform_assembly()
+    contigs = f.get_contigs()
+    if args.verbose:
+        print(f"...assembled {len(contigs)} contigs", file=sys.stderr)
+    names = [f"contig_{i}" for i in range(len(contigs))]
+    _emit(contigs, names, args, "fml")
+
+
+def run_align(args) -> None:
+    """TPU-native extra: straight bwa-mem-style alignment."""
+    seqs = _read_input(args)
+    _emit([u.seq for u in seqs], [u.name for u in seqs], args, "align")
+
+
+def run_index(args) -> None:
+    """TPU-native extra: build + write a bwa-format index."""
+    idx = FMIndex.construct(_load_fasta(args.fasta_file))
+    idx.write(args.fasta_file)
+    print(f"indexed {args.fasta_file} "
+          f"({idx.num_sequences()} sequences, {idx.l_pac} bp)",
+          file=sys.stderr)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="seqtools",
+        description="TPU-native seqtools: error correction, assembly, "
+                    "alignment")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("-v", "--verbose", action="store_true")
+        sp.add_argument("-f", "--fasta", action="store_true",
+                        help="output FASTA (no realignment)")
+        sp.add_argument("-b", "--bam", action="store_true",
+                        help="output BAM (not SAM)")
+        sp.add_argument("-C", "--cram", action="store_true",
+                        help="output CRAM (not SAM)")
+        sp.add_argument("-F", "--infasta",
+                        help="input FASTA/FASTQ instead of BAM/SAM")
+        sp.add_argument("-G", "--reference",
+                        help="reference genome (fasta or index prefix)")
+        sp.add_argument("-T", "--target",
+                        help="input target sequence")
+        sp.add_argument("-o", "--output", default="-")
+        sp.add_argument("input", nargs="?", default="-")
+
+    for name, fn in (("bfc", run_bfc), ("fml", run_fml),
+                     ("align", run_align)):
+        sp = sub.add_parser(name)
+        common(sp)
+        sp.set_defaults(func=fn)
+    sp = sub.add_parser("index")
+    sp.add_argument("fasta_file")
+    sp.set_defaults(func=run_index)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
