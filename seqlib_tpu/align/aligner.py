@@ -63,6 +63,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket(n: int, mn: int = 64) -> int:
+    """Round a batch dimension up to a power-of-two bucket so jitted
+    kernels compile once per bucket instead of once per batch."""
+    b = mn
+    while b < n:
+        b *= 2
+    return b
+
+
 class BWAAligner:
     """Single-end BWA-MEM-style aligner over an FMIndex.
 
@@ -170,7 +179,7 @@ class BWAAligner:
         opt = self.options
         l_pac = self.index.l_pac
         L = enc.shape[1]
-        M = len(entries)
+        M = _bucket(len(entries))   # static batch bucket (no recompiles)
         TW = L + opt.w + 1    # max target window per side
 
         lq = np.zeros(M, np.int32)
@@ -336,9 +345,15 @@ class BWAAligner:
         hits_per_read: list[list[dict]] = [[] for _ in range(len(regions))]
         if not flat:
             return hits_per_read
-        Lq = max(max(r.qe - r.qb for _, r in flat), 1)
-        Lt = max(max(r.re - r.rb for _, r in flat), 1)
-        M = len(flat)
+        # static shapes: query bucket = read length, target = +2w slack
+        Lq = enc.shape[1]
+        Lt = enc.shape[1] + 2 * opt.w
+        # regions larger than the padded window would misalign: clamp
+        flat = [(b, r) for b, r in flat
+                if r.qe - r.qb <= Lq and r.re - r.rb <= Lt]
+        if not flat:
+            return hits_per_read
+        M = _bucket(len(flat))
         q = np.full((M, Lq), 4, np.uint8)
         t = np.full((M, Lt), 4, np.uint8)
         ql = np.zeros(M, np.int32)
@@ -348,11 +363,11 @@ class BWAAligner:
             tl[m] = r.re - r.rb
             q[m, :ql[m]] = enc[b, r.qb:r.qe]
             t[m, :tl[m]] = self.text[r.rb:r.re]
-        band = max(opt.w, int(np.abs(ql - tl).max()) + 2)
         score, dirs = global_batch(
             jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t), jnp.asarray(tl),
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-            e_ins=opt.e_ins, match=opt.a, mismatch=opt.b, band=band)
+            e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
+            band=2 * opt.w + 8)
         dirs = np.asarray(dirs)
 
         l_pac = self.index.l_pac
@@ -412,13 +427,14 @@ class BWAAligner:
         if B == 0:
             return []
         L = _round_up(max(len(s) for s in seqs), 32)
-        enc = np.full((B, L), 4, np.uint8)
-        lens = np.zeros(B, np.int64)
+        Bp = _bucket(B, mn=8)   # static read-batch bucket
+        enc = np.full((Bp, L), 4, np.uint8)
+        lens = np.zeros(Bp, np.int64)
         for i, s in enumerate(seqs):
             e = encode_nt4(s)
             enc[i, :len(e)] = e
             lens[i] = len(e)
-        regions = self._collect_regions(enc, lens)
+        regions = self._collect_regions(enc, lens)[:B]
         # keepSecFrac outside [0,1] drops secondaries before conversion
         if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
             regions = [[r for r in rs if r.secondary < 0] for rs in regions]

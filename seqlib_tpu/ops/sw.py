@@ -45,6 +45,16 @@ def _row_scan_E(hnd: jax.Array, o_del: int, e_del: int) -> jax.Array:
     return cm - o_del - e_del * j
 
 
+_PACK_BIAS = 1 << 16
+_PACK_SHIFT = 12  # low bits carry (4095 - row index) for tie-breaks
+
+
+def _pack(h: jax.Array, i) -> jax.Array:
+    """Pack (score, row) so elementwise max prefers higher score, then
+    the EARLIEST row (bwa keeps the first strict max)."""
+    return (h + _PACK_BIAS) * (1 << _PACK_SHIFT) + (4095 - i)
+
+
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
                                              "e_ins", "match", "mismatch"))
 def extend_batch(query: jax.Array, qlen: jax.Array,
@@ -58,12 +68,18 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
     query/target: int8/int32 nt4 codes [B, Lq] / [B, Lt] (4 = N,
     scores as mismatch).  h0: initial score at origin [B].
 
+    The row loop is purely elementwise — running maxima are packed
+    (score, row) int32s per target column; the cross-lane reductions
+    (max/argmax) happen ONCE after the loop, which keeps the VPU on
+    lane-local work.
+
     Returns dict: score, qle, tle (position of the max, lengths
     consumed), gscore, gtle (best score consuming the whole query).
     """
     B, Lq = query.shape
     _, Lt = target.shape
     jt = jnp.arange(Lt + 1, dtype=jnp.int32)
+    trow = target.astype(jnp.int32)
 
     # row 0: H(0,j) = h0 - (o_del + e_del*j), floor NEG outside
     h_row0 = h0[:, None] - jnp.where(jt > 0, o_del + e_del * jt, 0)
@@ -72,54 +88,49 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
     tmask = jt[None, :] <= tlen[:, None]          # valid target boundary
     h_row0 = jnp.where(tmask, h_row0, NEG)
 
-    init = dict(
-        h_prev=h_row0.astype(jnp.int32),
-        f_prev=jnp.full((B, Lt + 1), NEG, jnp.int32),
-        best=jnp.zeros(B, jnp.int32), bqle=jnp.zeros(B, jnp.int32),
-        btle=jnp.zeros(B, jnp.int32),
-        gscore=jnp.full(B, NEG, jnp.int32), gtle=jnp.zeros(B, jnp.int32),
-    )
+    neg_row = jnp.full((B, Lt + 1), NEG, jnp.int32)
+    init = (h_row0.astype(jnp.int32), neg_row,
+            neg_row,  # best_pack per column
+            neg_row)  # g_row: final-query-row scores
 
     def body(i, st):
+        h_prev, f_prev, best_pack, g_row = st
         qi = query[:, i].astype(jnp.int32)                    # [B]
-        trow = target.astype(jnp.int32)                       # [B, Lt]
         is_match = (trow == qi[:, None]) & (trow < 4) & (qi[:, None] < 4)
         sub = jnp.where(is_match, match, -mismatch)           # [B, Lt]
-        M = st["h_prev"][:, :-1] + sub                        # ends at j>=1
-        F = jnp.maximum(st["h_prev"] - (o_ins + e_ins),
-                        st["f_prev"] - e_ins)                 # [B, Lt+1]
-        # H without E
-        hnd = jnp.full((B, Lt + 1), NEG, jnp.int32)
-        hnd = hnd.at[:, 1:].set(jnp.maximum(M, F[:, 1:]))
-        # column 0 boundary: H(i,0) = h0 - (o_ins + e_ins*i), or F
-        col0 = jnp.maximum(F[:, 0], NEG)
-        hnd = hnd.at[:, 0].set(col0)
+        M = h_prev[:, :-1] + sub                              # ends at j>=1
+        F = jnp.maximum(h_prev - (o_ins + e_ins),
+                        f_prev - e_ins)                       # [B, Lt+1]
+        hnd = jnp.concatenate(
+            [jnp.maximum(F[:, :1], NEG), jnp.maximum(M, F[:, 1:])], axis=1)
         E = _row_scan_E(hnd, o_del, e_del)
         h = jnp.maximum(hnd, E)
         h = jnp.where(tmask, h, NEG)
-        active = (i < qlen).astype(jnp.int32)                 # [B]
-        h = jnp.where(active[:, None] > 0, h, st["h_prev"])
-        f = jnp.where(active[:, None] > 0, F, st["f_prev"])
-        # track best (strictly greater keeps the earliest)
-        row_best = jnp.max(h[:, 1:], axis=-1)
-        row_arg = jnp.argmax(h[:, 1:], axis=-1).astype(jnp.int32) + 1
-        better = (row_best > st["best"]) & (active > 0)
-        best = jnp.where(better, row_best, st["best"])
-        bqle = jnp.where(better, i + 1, st["bqle"])
-        btle = jnp.where(better, row_arg, st["btle"])
-        # gscore: best score with the query fully consumed (final row),
-        # over any target prefix length
-        at_end = (i == qlen - 1)
-        gsc = jnp.max(h, axis=-1)
-        garg = jnp.argmax(h, axis=-1).astype(jnp.int32)
-        gscore = jnp.where(at_end, gsc, st["gscore"])
-        gtle = jnp.where(at_end, garg, st["gtle"])
-        return dict(h_prev=h, f_prev=f, best=best, bqle=bqle, btle=btle,
-                    gscore=gscore, gtle=gtle)
+        active = (i < qlen)[:, None]                          # [B, 1]
+        h = jnp.where(active, h, h_prev)
+        f = jnp.where(active, F, f_prev)
+        # running packed max (elementwise only; j=0 column excluded);
+        # clamp to -1 so packing never overflows on NEG sentinels
+        hp = jnp.where(active & (jt[None, :] > 0),
+                       jnp.maximum(h, -1), -1)
+        best_pack = jnp.maximum(best_pack, _pack(hp, i))
+        g_row = jnp.where((i == qlen - 1)[:, None], h, g_row)
+        return (h, f, best_pack, g_row)
 
-    st = jax.lax.fori_loop(0, Lq, body, init)
-    return dict(score=st["best"], qle=st["bqle"], tle=st["btle"],
-                gscore=st["gscore"], gtle=st["gtle"])
+    _, _, best_pack, g_row = jax.lax.fori_loop(0, Lq, body, init)
+    # single post-loop reductions
+    col_best = jnp.max(best_pack, axis=-1)
+    btle = jnp.argmax(best_pack, axis=-1).astype(jnp.int32)
+    score = col_best // (1 << _PACK_SHIFT) - _PACK_BIAS
+    bqle = 4095 - (col_best % (1 << _PACK_SHIFT)) + 1
+    found = score > 0
+    score = jnp.where(found, score, 0)
+    bqle = jnp.where(found, bqle, 0)
+    btle = jnp.where(found, btle, 0)
+    gscore = jnp.max(g_row, axis=-1)
+    gtle = jnp.argmax(g_row, axis=-1).astype(jnp.int32)
+    return dict(score=score, qle=bqle, tle=btle,
+                gscore=gscore, gtle=gtle)
 
 
 # direction bits for global traceback
