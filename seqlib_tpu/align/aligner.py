@@ -26,15 +26,18 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..core.cigar import Cigar, CigarField
 from ..core.record import BamRecord, FREVERSE, FSECONDARY, FUNMAP
 from ..core.seq import encode_nt4, revcomp
 from ..core.unaligned import UnalignedSequence
 from ..index.fmindex import FMIndex
 from ..index.pack import both_strands
-from ..ops.fm import DeviceFMIndex, collect_seeds, sa_lookup
-from ..ops.sw import cigar_from_dirs, extend_batch, global_batch
+from ..ops.fm import DeviceFMIndex
 from .chain import chain_seeds, filter_chains
+from .device_pipeline import (extend_chains, global_and_traceback,
+                              seed_and_locate)
 from .options import AlignerOptions
 
 MAX_SEEDS = 16          # per read from the seed scan
@@ -61,6 +64,21 @@ class AlnReg:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+_OP_CHARS = np.frombuffer(b"MDI", dtype=np.uint8)
+
+
+def _ops_to_cigar(ops_row: np.ndarray) -> list[tuple[str, int]]:
+    """Device traceback step codes (reverse walk order, OP_NONE padded)
+    -> [(op, len)] run-length CIGAR in forward order."""
+    real = ops_row[ops_row < 3][::-1]
+    if real.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(real)) + 1
+    starts = np.concatenate([[0], breaks])
+    ends = np.concatenate([breaks, [real.size]])
+    return [("MDI"[real[s]], int(e - s)) for s, e in zip(starts, ends)]
 
 
 def _bucket(n: int, mn: int = 64) -> int:
@@ -110,163 +128,69 @@ class BWAAligner:
     def _collect_regions(self, enc: np.ndarray, lens: np.ndarray
                          ) -> list[list[AlnReg]]:
         """enc [B, L] nt4 codes (4-padded); returns per-read region
-        lists (deduped, primary/secondary marked)."""
+        lists (deduped, primary/secondary marked).  Two fused device
+        dispatches: seed_and_locate + extend_chains."""
         opt = self.options
         B, L = enc.shape
         l_pac = self.index.l_pac
 
-        seeds = collect_seeds(self.fm, jnp.asarray(enc),
-                              jnp.asarray(lens.astype(np.int32)),
+        enc_j = jnp.asarray(enc)
+        lens_j = jnp.asarray(lens.astype(np.int32))
+        out = seed_and_locate(self.fm, enc_j, lens_j,
                               max_seeds=MAX_SEEDS,
-                              min_seed_len=opt.min_seed_len)
-        seeds = {k: np.asarray(v) for k, v in seeds.items()}
+                              min_seed_len=opt.min_seed_len,
+                              max_occ=opt.max_occ, k_occ=MAX_OCC_LOCATE)
+        out = jax.device_get(out)
+        n = out["n_seeds"]
+        qb_arr, qe_arr = out["qbeg"], out["qend"]
+        pos = out["pos"]
+        frac_reps = out["rep_cov"] / np.maximum(lens, 1)
 
-        # locate seed occurrences (device, flat batch)
-        K = MAX_OCC_LOCATE
-        n = seeds["n_seeds"]                               # [B]
-        sz = seeds["intv_sz"]                              # [B, S]
-        il = seeds["intv_l"]
-        seed_valid = (np.arange(MAX_SEEDS)[None, :] < n[:, None]) \
-            & (sz > 0) & (sz <= opt.max_occ)
-        k_take = np.minimum(sz, K)
-        ranks = il[:, :, None] + np.arange(K)[None, None, :]
-        occ_valid = seed_valid[:, :, None] \
-            & (np.arange(K)[None, None, :] < k_take[:, :, None])
-        ranks = np.where(occ_valid, ranks, -1).astype(np.int32)
-        pos = np.asarray(sa_lookup(self.fm, jnp.asarray(ranks.reshape(-1))))
-        pos = pos.reshape(B, MAX_SEEDS, K)
-
-        # host chaining
-        qb_arr, qe_arr = seeds["qbeg"], seeds["qend"]
+        # host chaining (cheap: a handful of occurrences per read)
         all_chains: list[list] = []
-        frac_reps = np.zeros(B)
         for b in range(B):
             occs = []
-            rep_cov = 0
             for s in range(int(n[b])):
-                if sz[b, s] > opt.max_occ:
-                    rep_cov += qe_arr[b, s] - qb_arr[b, s]
-                    continue
-                if not seed_valid[b, s]:
-                    continue
-                for k in range(int(k_take[b, s])):
+                qb, qe = int(qb_arr[b, s]), int(qe_arr[b, s])
+                for k in range(pos.shape[2]):
                     p = int(pos[b, s, k])
                     if p < 0:
                         continue
-                    qb, qe = int(qb_arr[b, s]), int(qe_arr[b, s])
                     # occurrence must not span the fwd/rev midpoint
                     if p < l_pac <= p + (qe - qb):
                         continue
                     occs.append((qb, qe, p))
-            frac_reps[b] = rep_cov / max(int(lens[b]), 1)
             chains = filter_chains(
                 chain_seeds(occs, l_pac, opt.max_chain_gap, opt.w),
                 opt.drop_ratio, opt.min_chain_weight, MAX_CHAINS)
             all_chains.append(chains)
 
-        # build extension batch over (read, chain)
         entries = [(b, ch) for b in range(B) for ch in all_chains[b]]
         regions: list[list[AlnReg]] = [[] for _ in range(B)]
         if entries:
-            regs = self._extend_entries(enc, lens, entries, frac_reps)
-            for b, reg in regs:
-                regions[b].append(reg)
+            M = _bucket(len(entries))
+            b_idx = np.full(M, -1, np.int32)
+            aq = np.zeros(M, np.int32)
+            alen = np.zeros(M, np.int32)
+            ar = np.zeros(M, np.int32)
+            for m, (b, ch) in enumerate(entries):
+                a_q, a_len, a_r = ch.anchor
+                b_idx[m], aq[m], alen[m], ar[m] = b, a_q, a_len, a_r
+            qb, qe, rb, re, score = jax.device_get(extend_chains(
+                self.text_j, enc_j, lens_j,
+                jnp.asarray(b_idx), jnp.asarray(aq), jnp.asarray(alen),
+                jnp.asarray(ar), l_pac=l_pac,
+                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
+                pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
+                w=opt.w))
+            for m, (b, ch) in enumerate(entries):
+                regions[b].append(AlnReg(
+                    int(rb[m]), int(re[m]), int(qb[m]), int(qe[m]),
+                    int(score[m]), ch.weight, float(frac_reps[b])))
         for b in range(B):
             regions[b] = self._dedup_and_mark(regions[b])
         return regions
-
-    def _extend_entries(self, enc, lens, entries, frac_reps):
-        opt = self.options
-        l_pac = self.index.l_pac
-        L = enc.shape[1]
-        M = _bucket(len(entries))   # static batch bucket (no recompiles)
-        TW = L + opt.w + 1    # max target window per side
-
-        lq = np.zeros(M, np.int32)
-        lt = np.zeros(M, np.int32)
-        q_l = np.full((M, L), 4, np.uint8)
-        t_l = np.full((M, TW), 4, np.uint8)
-        h0 = np.zeros(M, np.int32)
-        anchors = []
-        for m, (b, ch) in enumerate(entries):
-            aq, alen, ar = ch.anchor
-            anchors.append((b, ch, aq, alen, ar))
-            h0[m] = alen * opt.a
-            # left extension: reversed prefixes
-            strand_floor = l_pac if ar >= l_pac else 0
-            wl = min(aq + opt.w, ar - strand_floor)
-            lq[m] = aq
-            lt[m] = wl
-            if aq:
-                q_l[m, :aq] = enc[b, :aq][::-1]
-            if wl:
-                t_l[m, :wl] = self.text[ar - wl:ar][::-1]
-        out_l = extend_batch(jnp.asarray(q_l), jnp.asarray(lq),
-                             jnp.asarray(t_l), jnp.asarray(lt),
-                             jnp.asarray(h0),
-                             o_del=opt.o_del, e_del=opt.e_del,
-                             o_ins=opt.o_ins, e_ins=opt.e_ins,
-                             match=opt.a, mismatch=opt.b)
-        out_l = {k: np.asarray(v) for k, v in out_l.items()}
-
-        # clip decision (left = read 5'):
-        qb = np.zeros(M, np.int64)
-        rb = np.zeros(M, np.int64)
-        score_l = np.zeros(M, np.int64)
-        for m, (b, ch, aq, alen, ar) in enumerate(anchors):
-            if lq[m] == 0:
-                qb[m], rb[m], score_l[m] = aq, ar, h0[m]
-                continue
-            sc, qle, tle = out_l["score"][m], out_l["qle"][m], out_l["tle"][m]
-            gsc, gtle = out_l["gscore"][m], out_l["gtle"][m]
-            if gsc <= 0 or gsc <= sc - opt.pen_clip5:
-                qb[m], rb[m], score_l[m] = aq - qle, ar - tle, sc
-            else:
-                qb[m], rb[m], score_l[m] = 0, ar - gtle, gsc
-
-        # right extension
-        lq2 = np.zeros(M, np.int32)
-        lt2 = np.zeros(M, np.int32)
-        q_r = np.full((M, L), 4, np.uint8)
-        t_r = np.full((M, TW), 4, np.uint8)
-        for m, (b, ch, aq, alen, ar) in enumerate(anchors):
-            qstart = aq + alen
-            rstart = ar + alen
-            rlen = int(lens[b]) - qstart
-            strand_ceil = l_pac if ar < l_pac else 2 * l_pac
-            wr = min(rlen + opt.w, strand_ceil - rstart)
-            lq2[m] = rlen
-            lt2[m] = wr
-            if rlen:
-                q_r[m, :rlen] = enc[b, qstart:qstart + rlen]
-            if wr:
-                t_r[m, :wr] = self.text[rstart:rstart + wr]
-        out_r = extend_batch(jnp.asarray(q_r), jnp.asarray(lq2),
-                             jnp.asarray(t_r), jnp.asarray(lt2),
-                             jnp.asarray(score_l.astype(np.int32)),
-                             o_del=opt.o_del, e_del=opt.e_del,
-                             o_ins=opt.o_ins, e_ins=opt.e_ins,
-                             match=opt.a, mismatch=opt.b)
-        out_r = {k: np.asarray(v) for k, v in out_r.items()}
-
-        results = []
-        for m, (b, ch, aq, alen, ar) in enumerate(anchors):
-            qstart = aq + alen
-            rstart = ar + alen
-            if lq2[m] == 0:
-                qe, re, score = qstart, rstart, int(score_l[m])
-            else:
-                sc, qle, tle = (out_r["score"][m], out_r["qle"][m],
-                                out_r["tle"][m])
-                gsc, gtle = out_r["gscore"][m], out_r["gtle"][m]
-                if gsc <= 0 or gsc <= sc - opt.pen_clip3:
-                    qe, re, score = qstart + qle, rstart + tle, int(sc)
-                else:
-                    qe, re, score = int(lens[b]), rstart + gtle, int(gsc)
-            results.append((b, AlnReg(int(rb[m]), int(re), int(qb[m]),
-                                      int(qe), score, ch.weight,
-                                      float(frac_reps[b]))))
-        return results
 
     def _dedup_and_mark(self, regs: list[AlnReg]) -> list[AlnReg]:
         """mem_sort_dedup + mem_mark_primary_se semantics."""
@@ -363,31 +287,16 @@ class BWAAligner:
             tl[m] = r.re - r.rb
             q[m, :ql[m]] = enc[b, r.qb:r.qe]
             t[m, :tl[m]] = self.text[r.rb:r.re]
-        score, dirs = global_batch(
+        score, ops, nms = jax.device_get(global_and_traceback(
             jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t), jnp.asarray(tl),
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
-            band=2 * opt.w + 8)
-        dirs = np.asarray(dirs)
+            band=2 * opt.w + 8))
 
         l_pac = self.index.l_pac
         for m, (b, r) in enumerate(flat):
-            cig2l = cigar_from_dirs(dirs[m], int(ql[m]), int(tl[m]))
-            # NM: walk the alignment
-            nm = 0
-            qi = ti = 0
-            qq, tt = q[m], t[m]
-            for op, ln in cig2l:
-                if op == "M":
-                    nm += int((qq[qi:qi + ln] != tt[ti:ti + ln]).sum())
-                    qi += ln
-                    ti += ln
-                elif op == "I":
-                    nm += ln
-                    qi += ln
-                else:
-                    nm += ln
-                    ti += ln
+            cig2l = _ops_to_cigar(ops[m])
+            nm = int(nms[m])
             is_rev = r.rb >= l_pac
             L = int(lens[b])
             if is_rev:

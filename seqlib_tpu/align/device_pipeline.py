@@ -1,0 +1,219 @@
+"""Fused device stages of the alignment pipeline.
+
+Each batch makes exactly three device round-trips (the axon/PCIe/ICI
+link latency dominates per-call cost, so stages are fused jits):
+
+1. ``seed_and_locate`` — lockstep seed scan + sampled-SA lookup of up
+   to K occurrences per seed.
+2. ``extend_chains``  — left+right affine extension of every chain
+   anchor, including bwa's soft-clip decisions, window gathers from
+   the device-resident 2L text, and strand-boundary clamping.
+3. ``global_and_traceback`` — banded global DP for each final region
+   plus an on-device traceback walk that emits per-step op codes and
+   NM counts (the [M, Lq, Lt] direction matrix never leaves HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fm import DeviceFMIndex, collect_seeds, sa_lookup
+from ..ops.sw import (BIT_EEXT, BIT_FEXT, DIR_E, DIR_M, NEG, extend_batch,
+                      global_batch)
+
+OP_M, OP_D, OP_I, OP_NONE = 0, 1, 2, 3
+
+
+@functools.partial(jax.jit, static_argnames=("max_seeds", "min_seed_len",
+                                             "max_occ", "k_occ"))
+def seed_and_locate(fm: DeviceFMIndex, reads, lens,
+                    max_seeds: int = 16, min_seed_len: int = 19,
+                    max_occ: int = 500, k_occ: int = 16):
+    """Seed scan + SA locate in one dispatch.
+
+    Returns seeds dict + ``pos`` [B, S, K] text positions (-1 invalid)
+    + ``rep_cov`` [B] query bases covered by over-max_occ seeds (for
+    frac_rep in the MAPQ formula).
+    """
+    B = reads.shape[0]
+    seeds = collect_seeds(fm, reads, lens, max_seeds=max_seeds,
+                          min_seed_len=min_seed_len)
+    n, sz, il = seeds["n_seeds"], seeds["intv_sz"], seeds["intv_l"]
+    s_idx = jnp.arange(max_seeds)[None, :]
+    in_range = s_idx < n[:, None]
+    repetitive = in_range & (sz > max_occ)
+    seed_valid = in_range & (sz > 0) & (sz <= max_occ)
+    k_take = jnp.minimum(sz, k_occ)
+    ranks = il[:, :, None] + jnp.arange(k_occ)[None, None, :]
+    occ_valid = seed_valid[:, :, None] \
+        & (jnp.arange(k_occ)[None, None, :] < k_take[:, :, None])
+    ranks = jnp.where(occ_valid, ranks, -1).astype(jnp.int32)
+    pos = sa_lookup(fm, ranks.reshape(-1)).reshape(B, max_seeds, k_occ)
+    rep_cov = jnp.sum(
+        jnp.where(repetitive, seeds["qend"] - seeds["qbeg"], 0), axis=1)
+    return dict(qbeg=seeds["qbeg"], qend=seeds["qend"],
+                intv_sz=sz, n_seeds=n, pos=pos, rep_cov=rep_cov)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "l_pac", "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
+    "pen_clip5", "pen_clip3", "w"))
+def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
+                  l_pac: int,
+                  o_del: int = 6, e_del: int = 1, o_ins: int = 6,
+                  e_ins: int = 1, match: int = 1, mismatch: int = 4,
+                  pen_clip5: int = 5, pen_clip3: int = 5, w: int = 100):
+    """Left+right extension of M chain anchors in one dispatch.
+
+    b_idx/aq/alen/ar: [M] anchor description (read index, anchor query
+    start, anchor length, anchor text position in 2L space).  Padded
+    entries use b_idx = -1.
+
+    Returns qb, qe, rb, re, score [M] int32.
+    """
+    M = b_idx.shape[0]
+    B, L = reads.shape
+    TW = L + w + 1
+    valid = b_idx >= 0
+    bsafe = jnp.maximum(b_idx, 0)
+    rlens = lens[bsafe].astype(jnp.int32)
+    rows = reads[bsafe]                                     # [M, L]
+    jr = jnp.arange(L, dtype=jnp.int32)[None, :]
+    jt = jnp.arange(TW, dtype=jnp.int32)[None, :]
+    tlen_total = text.shape[0]
+
+    # ---- left: reversed prefixes --------------------------------------
+    lq = jnp.where(valid, aq, 0).astype(jnp.int32)
+    q_l = jnp.take_along_axis(
+        rows, jnp.clip(aq[:, None] - 1 - jr, 0, L - 1), axis=1)
+    q_l = jnp.where(jr < lq[:, None], q_l, 4).astype(jnp.int8)
+    floor = jnp.where(ar >= l_pac, l_pac, 0)
+    wl = jnp.minimum(aq + w, ar - floor)
+    wl = jnp.where(valid, jnp.maximum(wl, 0), 0).astype(jnp.int32)
+    t_idx = jnp.clip(ar[:, None] - 1 - jt, 0, tlen_total - 1)
+    t_l = jnp.where(jt < wl[:, None], text[t_idx], 4).astype(jnp.int8)
+    h0 = (alen * match).astype(jnp.int32)
+    out_l = extend_batch(q_l, lq, t_l, wl, h0,
+                         o_del=o_del, e_del=e_del, o_ins=o_ins,
+                         e_ins=e_ins, match=match, mismatch=mismatch)
+    # clip decision (read 5'): local vs to-end
+    no_left = lq == 0
+    use_gl = (out_l["gscore"] > 0) \
+        & (out_l["gscore"] > out_l["score"] - pen_clip5)
+    qb = jnp.where(no_left, aq,
+                   jnp.where(use_gl, 0, aq - out_l["qle"]))
+    rb = jnp.where(no_left, ar,
+                   jnp.where(use_gl, ar - out_l["gtle"],
+                             ar - out_l["tle"]))
+    score_l = jnp.where(no_left, h0,
+                        jnp.where(use_gl, out_l["gscore"],
+                                  out_l["score"]))
+
+    # ---- right --------------------------------------------------------
+    qstart = aq + alen
+    rstart = ar + alen
+    rlen = jnp.where(valid, rlens - qstart, 0).astype(jnp.int32)
+    rlen = jnp.maximum(rlen, 0)
+    q_r = jnp.take_along_axis(
+        rows, jnp.clip(qstart[:, None] + jr, 0, L - 1), axis=1)
+    q_r = jnp.where(jr < rlen[:, None], q_r, 4).astype(jnp.int8)
+    ceil = jnp.where(ar < l_pac, l_pac, 2 * l_pac)
+    wr = jnp.minimum(rlen + w, ceil - rstart)
+    wr = jnp.where(valid, jnp.maximum(wr, 0), 0).astype(jnp.int32)
+    t_idx = jnp.clip(rstart[:, None] + jt, 0, tlen_total - 1)
+    t_r = jnp.where(jt < wr[:, None], text[t_idx], 4).astype(jnp.int8)
+    out_r = extend_batch(q_r, rlen, t_r, wr,
+                         score_l.astype(jnp.int32),
+                         o_del=o_del, e_del=e_del, o_ins=o_ins,
+                         e_ins=e_ins, match=match, mismatch=mismatch)
+    no_right = rlen == 0
+    use_gr = (out_r["gscore"] > 0) \
+        & (out_r["gscore"] > out_r["score"] - pen_clip3)
+    qe = jnp.where(no_right, qstart,
+                   jnp.where(use_gr, rlens, qstart + out_r["qle"]))
+    re = jnp.where(no_right, rstart,
+                   jnp.where(use_gr, rstart + out_r["gtle"],
+                             rstart + out_r["tle"]))
+    score = jnp.where(no_right, score_l,
+                      jnp.where(use_gr, out_r["gscore"],
+                                out_r["score"]))
+    return (qb.astype(jnp.int32), qe.astype(jnp.int32),
+            rb.astype(jnp.int32), re.astype(jnp.int32),
+            score.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch", "band"))
+def global_and_traceback(q, ql, t, tl,
+                         o_del: int = 6, e_del: int = 1, o_ins: int = 6,
+                         e_ins: int = 1, match: int = 1, mismatch: int = 4,
+                         band: int = 208):
+    """Banded global DP + on-device traceback.
+
+    Returns (score [M], ops [M, T] int8 step codes in reverse walk
+    order with OP_NONE padding, nm [M]).  The direction matrix stays on
+    device.
+    """
+    M, Lq = q.shape
+    _, Lt = t.shape
+    score, dirs = global_batch(q, ql, t, tl, o_del=o_del, e_del=e_del,
+                               o_ins=o_ins, e_ins=e_ins, match=match,
+                               mismatch=mismatch, band=band)
+    dirs_flat = dirs.reshape(M, Lq * (Lt + 1))
+    qi32 = q.astype(jnp.int32)
+    ti32 = t.astype(jnp.int32)
+    T = 2 * (Lq + Lt) + 4
+    m_idx = jnp.arange(M)
+
+    def body(s, st):
+        i, j, state, ops, nm = st
+        done = (i == 0) & (j == 0)
+        code = jnp.take_along_axis(
+            dirs_flat,
+            (jnp.clip(i - 1, 0, Lq - 1) * (Lt + 1)
+             + jnp.clip(j, 0, Lt))[:, None], axis=1)[:, 0].astype(jnp.int32)
+        at_top = (i == 0) & (j > 0)       # forced D
+        at_left = (j == 0) & (i > 0)      # forced I
+        src = code & 3
+        # H state resolution
+        h_is_m = (state == 0) & (src == DIR_M)
+        h_to_e = (state == 0) & (src == DIR_E)
+        h_to_f = (state == 0) & (src > DIR_E)
+        in_e = state == 1
+        in_f = state == 2
+        op = jnp.where(done, OP_NONE,
+             jnp.where(at_top, OP_D,
+             jnp.where(at_left, OP_I,
+             jnp.where(h_is_m, OP_M,
+             jnp.where(in_e, OP_D,
+             jnp.where(in_f, OP_I, OP_NONE))))))
+        # movement
+        di = jnp.where((op == OP_M) | (op == OP_I), 1, 0)
+        dj = jnp.where((op == OP_M) | (op == OP_D), 1, 0)
+        # mismatch counting for NM
+        qc = jnp.take_along_axis(
+            qi32, jnp.clip(i - 1, 0, Lq - 1)[:, None], axis=1)[:, 0]
+        tc = jnp.take_along_axis(
+            ti32, jnp.clip(j - 1, 0, Lt - 1)[:, None], axis=1)[:, 0]
+        add_nm = jnp.where(op == OP_M, (qc != tc).astype(jnp.int32),
+                           jnp.where((op == OP_D) | (op == OP_I), 1, 0))
+        # state transition
+        new_state = jnp.where(done, state,
+                    jnp.where(at_top | at_left, state,
+                    jnp.where(h_to_e, 1,
+                    jnp.where(h_to_f, 2,
+                    jnp.where(in_e & ((code & BIT_EEXT) == 0), 0,
+                    jnp.where(in_f & ((code & BIT_FEXT) == 0), 0,
+                    jnp.where(h_is_m, 0, state)))))))
+        ops = ops.at[:, s].set(op.astype(jnp.int8))
+        return (i - di, j - dj, new_state, ops, nm + add_nm)
+
+    init = (ql.astype(jnp.int32), tl.astype(jnp.int32),
+            jnp.zeros(M, jnp.int32),
+            jnp.full((M, T), OP_NONE, jnp.int8),
+            jnp.zeros(M, jnp.int32))
+    i, j, state, ops, nm = jax.lax.fori_loop(0, T, body, init)
+    return score, ops, nm
