@@ -36,6 +36,7 @@ class FMIndex:
 
     def __init__(self):
         self.ref: PackedReference | None = None   # forward codes + anns
+        self.sa_full = None       # full SA (construction-time only)
         self.seq_len = 0          # 2 * l_pac
         self.primary = 0          # rank of suffix 0
         self.L2 = np.zeros(5, dtype=np.int64)     # cumulative counts
@@ -96,6 +97,9 @@ class FMIndex:
                                   self.sa_intv].astype(np.uint64)
         assert self.sa_samples.size == n_sa
         self.sa_samples[0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        # keep the full SA (construction-time only): the device path
+        # turns SA lookup into a single gather instead of an LF walk
+        self.sa_full = sa_full
 
     # ------------------------------------------------------------------
     # I/O (parity: WriteIndex BWAIndex.cpp:360-406, LoadIndex :28-33)

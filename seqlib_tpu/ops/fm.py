@@ -52,13 +52,25 @@ class DeviceFMIndex:
 
     @classmethod
     def from_host(cls, idx) -> "DeviceFMIndex":
-        """Upload a host FMIndex (seqlib_tpu.index.FMIndex) to device."""
+        """Upload a host FMIndex (seqlib_tpu.index.FMIndex) to device.
+
+        When the host index still holds the full SA (in-memory
+        construction), it is uploaded with sa_intv=1 so sa_lookup
+        degenerates to a single gather; disk-loaded indexes fall back
+        to the sampled-SA LF walk.
+        """
         if idx.seq_len >= 2**31:
             raise NotImplementedError(
                 "device FM-index currently requires seq_len < 2^31 "
                 "(genomes < ~1 Gbp); shard the index for larger refs")
-        sa = idx.sa_samples.astype(np.int64).copy()
-        sa[0] = 0
+        if getattr(idx, "sa_full", None) is not None:
+            sa = idx.sa_full.astype(np.int64).copy()
+            sa[0] = 0
+            sa_intv = 1
+        else:
+            sa = idx.sa_samples.astype(np.int64).copy()
+            sa[0] = 0
+            sa_intv = int(idx.sa_intv)
         return cls(
             cp_counts=jnp.asarray(idx.cp_counts.astype(np.int32)),
             bwt_words=jnp.asarray(idx.bwt_words),
@@ -66,7 +78,7 @@ class DeviceFMIndex:
             L2=jnp.asarray(idx.L2.astype(np.int32)),
             primary=jnp.asarray(np.int32(idx.primary)),
             seq_len=int(idx.seq_len),
-            sa_intv=int(idx.sa_intv),
+            sa_intv=sa_intv,
             l_pac=int(idx.l_pac),
         )
 

@@ -1,0 +1,149 @@
+"""Ports of the legacy Boost.Test behavioral suite
+(/root/reference/seq_test/seq_test.cpp) — golden-value expectations
+adapted to this framework's API.
+"""
+
+import os
+
+import pytest
+
+from seqlib_tpu.align import BWAAligner
+from seqlib_tpu.core import (BamHeader, GenomicRegion, UnalignedSequence)
+from seqlib_tpu.index import FMIndex
+from seqlib_tpu.intervals import GRC
+
+
+# -- merge (seq_test.cpp:184-203) -------------------------------------------
+
+def test_merge_golden():
+    grc = GRC()
+    grc.add(GenomicRegion(23, 10, 100))
+    grc.add(GenomicRegion(23, 20, 110))
+    grc.add(GenomicRegion(2, 10, 100))
+    grc.add(GenomicRegion(2, 20, 110))
+    grc.add(GenomicRegion(2, 200, 310))
+    grc.merge_overlapping_intervals()
+    assert len(grc) == 3
+    assert grc[0].chr == 2
+    assert grc[1].chr == 2
+    assert grc[2].chr == 23
+    assert grc[2].pos1 == 10 and grc[2].pos2 == 110
+
+
+# -- interval queries (seq_test.cpp:205-244) --------------------------------
+
+def test_interval_queries_golden():
+    import random
+    random.seed(0)
+    grc = GRC()
+    for _ in range(10):
+        chrn = random.randrange(23)
+        pos = random.randrange(10000)
+        grc.add(GenomicRegion(chrn, pos, pos + 100))
+    grc.merge_overlapping_intervals()
+    grc.add(GenomicRegion(23, 10, 100))
+    grc.add(GenomicRegion(23, 20, 110))
+    grc.create_tree_map()
+    results = grc.find_overlaps(GenomicRegion(23, 10, 100), True)
+    assert len(results) == 2
+    assert results[1].pos2 == 100
+
+    grc.merge_overlapping_intervals()
+    grc.create_tree_map()
+    out, q, s = grc.find_overlaps(grc, True)
+    assert len(out) == len(grc)
+    assert out.total_width() == grc.total_width()
+
+
+# -- bwa wrapper (seq_test.cpp:793-915) -------------------------------------
+
+USV = [
+    ("ref3", "ACATGGCGAGCACTTCTAGCATCAGCTAGCTACGATCGATCGATCGATCGTAGC"),
+    ("ref4", "CTACTTTATCATCTACACACTGCCTGACTGCGGCGACGAGCGAGCAGCTACTATCGACT"),
+    ("ref5", "CGATCGTAGCTAGCTGATGCTAGAAGTGCTCGCCATGT"),
+    ("ref6", "TATCTACTGCGCGCGATCATCTAGCGCAGGACGAGCATC" + "N" * 100
+     + "CGATCGTTATTATCGAGCGACGATCTACTACGT"),
+]
+
+
+@pytest.fixture(scope="module")
+def usv_index():
+    return FMIndex.construct(USV)
+
+
+def test_construct_index_error_cases():
+    with pytest.raises(ValueError):
+        FMIndex.construct([("ref1", "ACGT"), ("ref4", "")])
+    with pytest.raises(ValueError):
+        FMIndex.construct([("", "ACGT")])
+
+
+def test_index_names_and_bounds(usv_index):
+    idx = usv_index
+    assert idx.num_sequences() == 4
+    assert idx.chr_id_to_name(0) == "ref3"
+    assert idx.chr_id_to_name(1) == "ref4"
+    assert idx.chr_id_to_name(2) == "ref5"
+    assert idx.chr_id_to_name(3) == "ref6"
+    with pytest.raises(IndexError):
+        idx.chr_id_to_name(4)
+    with pytest.raises(IndexError):
+        idx.chr_id_to_name(-1)
+    hh = idx.header_from_index()
+    assert hh.num_sequences() == 4
+
+
+def test_index_write_reload_roundtrip(usv_index, tmp_path):
+    prefix = str(tmp_path / "oref.fa")
+    usv_index.write(prefix)
+    idx2 = FMIndex.load(prefix)
+    assert idx2.chr_id_to_name(0) == "ref3"
+    assert idx2.chr_id_to_name(1) == "ref4"
+    assert idx2.seq_len == usv_index.seq_len
+    assert idx2.primary == usv_index.primary
+
+
+def test_align_ambiguous_fwd_rev(usv_index):
+    """The 38-mer equals ref3's prefix AND revcomp(ref5): bwa reports
+    both, one primary one secondary, CIGAR 38M
+    (seq_test.cpp:893-911)."""
+    aln = BWAAligner(usv_index)
+    brv = aln.align_sequence("ACATGGCGAGCACTTCTAGCATCAGCTAGCTACGATCG",
+                             "name", hardclip=False, keep_sec_frac=0.9,
+                             max_secondary=1)
+    assert brv
+    assert brv[0].qname == "name"
+    # both candidate locations are legitimate; primary must be one of
+    # them with a full-length exact match
+    assert brv[0].tid in (0, 2)
+    f0 = brv[0].cigar[0]
+    assert f0.type == "M" and f0.length == 38
+    if brv[0].tid == 2:
+        assert brv[0].seq == USV[2][1]  # stored revcomp = ref5 itself
+
+    brv2 = aln.align_sequence("CGATCGTAGCTAGCTGATGCTAGAAGTGCTCGC",
+                              "name", hardclip=False, keep_sec_frac=0.9,
+                              max_secondary=2)
+    # got both alignments (fwd ref5 prefix + rev into ref3)
+    assert len(brv2) == 2
+
+
+def test_n_holes_recorded(usv_index):
+    assert len(usv_index.ref.holes) == 1
+    assert usv_index.ref.holes[0].length == 100
+    assert usv_index.ref.anns[3].n_amb == 1
+
+
+# -- header dictionary (seq_test.cpp:158-172) -------------------------------
+
+def test_header_dictionary_semantics():
+    h = BamHeader([("1", 249250621), ("2", 243199373), ("3", 198022430),
+                   ("4", 191154276)])
+    assert h.get_sequence_length(0) == 249250621
+    assert h.get_sequence_length(3) == 191154276
+    assert h.get_sequence_length("1") == 249250621
+    assert h.get_sequence_length("4") == 191154276
+    assert h.get_sequence_length("d4") == -1
+    assert h.get_sequence_length(10000) == -1
+    assert len(h.sequences()) == h.num_sequences()
+    assert h.sequences()[0].length == 249250621
