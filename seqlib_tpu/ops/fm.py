@@ -126,9 +126,15 @@ def rank_full(fm: DeviceFMIndex, c: jax.Array, k: jax.Array) -> jax.Array:
 
 def backward_ext(fm: DeviceFMIndex, l: jax.Array, u: jax.Array,
                  c: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[l,u) -> interval of c+pattern.  Batched over leading dims."""
+    """[l,u) -> interval of c+pattern.  Batched over leading dims.
+
+    Both boundary ranks are computed in ONE stacked gather so each
+    seed-scan step costs a single rank dispatch.
+    """
     C = fm.L2[c] + 1
-    return C + rank_full(fm, c, l), C + rank_full(fm, c, u)
+    lu = jnp.stack([l, u], axis=0)
+    r = rank_full(fm, jnp.broadcast_to(c, lu.shape), lu)
+    return C + r[0], C + r[1]
 
 
 # ---------------------------------------------------------------------------

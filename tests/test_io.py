@@ -252,3 +252,23 @@ def test_refgenome_query(ref_data_dir):
         rg.query_region("bcr", 50, 10)
     with pytest.raises(ValueError):
         rg.query_region("myc", 0, 10**9)
+
+
+# -- ThreadPool / pooled BGZF ----------------------------------------------
+
+def test_threadpool_pooled_bgzf(tmp_path):
+    from seqlib_tpu.io import PooledBgzfWriter, ThreadPool, BgzfReader
+    pool = ThreadPool(4)
+    assert pool.is_valid()
+    path = str(tmp_path / "pooled.bgzf")
+    data = bytes(random.Random(9).randbytes(500_000))
+    w = PooledBgzfWriter(path, pool)
+    for i in range(0, len(data), 3000):
+        w.write(data[i:i + 3000])
+    w.close()
+    r = BgzfReader(path)
+    assert r.read(len(data) + 1) == data
+    pool.shutdown()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ThreadPool(0)
