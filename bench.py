@@ -18,7 +18,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".jax_cache"))
 
 import numpy as np
 
@@ -27,6 +30,12 @@ BWA_MEM_READS_PER_SEC_BASELINE = 5000.0
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from seqlib_tpu.io.fastq import FastqReader
     from seqlib_tpu.index import FMIndex
@@ -47,13 +56,13 @@ def main():
     names = [r.name for r in reads]
     rseqs = [r.seq for r in reads]
 
-    B = 512
+    B = 1024
     # warmup/compile
     t0 = time.time()
     aln.align_batch(rseqs[:B], names[:B])
     print(f"warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
 
-    n_bench = min(4096, len(reads))
+    n_bench = min(8192, len(reads))
     t0 = time.time()
     out = []
     for i in range(0, n_bench, B):

@@ -98,13 +98,72 @@ class BWAAligner:
     reference-compatible) or ``align_batch`` (the TPU-native path).
     """
 
-    def __init__(self, index: FMIndex, options: AlignerOptions | None = None):
+    def __init__(self, index: FMIndex, options: AlignerOptions | None = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'dp' axis — device
+        stages then run data-parallel across it (read batches sharded,
+        FM-index replicated; SURVEY.md §2.2 TPU-native scale-out)."""
         self.index = index
         self.options = options or AlignerOptions()
+        self.mesh = mesh
         self.fm = DeviceFMIndex.from_host(index)
         self.text = both_strands(index.ref.codes)      # host 2L codes
         self.text_j = jnp.asarray(self.text)
         self._copy_comment = False
+        if mesh is not None:
+            self._build_sharded_stages()
+
+    def _build_sharded_stages(self):
+        """Wrap the three device stages in shard_map over the dp axis.
+
+        Read batches and per-entry arrays shard on dim 0; the FM-index,
+        2L text, and (for the extension stage) the read matrix are
+        replicated — entries may reference any read in the batch.
+        """
+        import functools
+        from jax.sharding import PartitionSpec as P
+        opt = self.options
+        mesh = self.mesh
+        fm, text = self.fm, self.text_j
+        dp1 = P("dp")
+        dp2 = P("dp", None)
+
+        seed_fn = functools.partial(
+            seed_and_locate, fm, max_seeds=MAX_SEEDS,
+            min_seed_len=opt.min_seed_len, max_occ=opt.max_occ,
+            k_occ=MAX_OCC_LOCATE)
+        seed_out = dict(qbeg=dp2, qend=dp2, intv_sz=dp2, n_seeds=dp1,
+                        pos=P("dp", None, None), rep_cov=dp1)
+        self._sh_seed = jax.jit(jax.shard_map(
+            seed_fn, mesh=mesh, in_specs=(dp2, dp1),
+            out_specs=seed_out, check_vma=False))
+
+        def ext_fn(reads, lens, b_idx, aq, alen, ar):
+            return extend_chains(
+                text, reads, lens, b_idx, aq, alen, ar,
+                l_pac=self.index.l_pac,
+                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
+                pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
+                w=opt.w)
+        self._sh_extend = jax.jit(jax.shard_map(
+            ext_fn, mesh=mesh,
+            in_specs=(P(), P(), dp1, dp1, dp1, dp1),
+            out_specs=(dp1,) * 5, check_vma=False))
+
+        def glob_fn(q, ql, t, tl):
+            return global_and_traceback(
+                q, ql, t, tl, o_del=opt.o_del, e_del=opt.e_del,
+                o_ins=opt.o_ins, e_ins=opt.e_ins, match=opt.a,
+                mismatch=opt.b, band=2 * opt.w + 8)
+        self._sh_global = jax.jit(jax.shard_map(
+            glob_fn, mesh=mesh,
+            in_specs=(dp2, dp1, dp2, dp1),
+            out_specs=(dp1, dp2, dp1), check_vma=False))
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape["dp"] if self.mesh is not None else 1
 
     # -- option setters forwarded (reference-style names) -------------------
 
@@ -136,10 +195,14 @@ class BWAAligner:
 
         enc_j = jnp.asarray(enc)
         lens_j = jnp.asarray(lens.astype(np.int32))
-        out = seed_and_locate(self.fm, enc_j, lens_j,
-                              max_seeds=MAX_SEEDS,
-                              min_seed_len=opt.min_seed_len,
-                              max_occ=opt.max_occ, k_occ=MAX_OCC_LOCATE)
+        if self.mesh is not None:
+            out = self._sh_seed(enc_j, lens_j)
+        else:
+            out = seed_and_locate(self.fm, enc_j, lens_j,
+                                  max_seeds=MAX_SEEDS,
+                                  min_seed_len=opt.min_seed_len,
+                                  max_occ=opt.max_occ,
+                                  k_occ=MAX_OCC_LOCATE)
         out = jax.device_get(out)
         n = out["n_seeds"]
         qb_arr, qe_arr = out["qbeg"], out["qend"]
@@ -176,14 +239,20 @@ class BWAAligner:
             for m, (b, ch) in enumerate(entries):
                 a_q, a_len, a_r = ch.anchor
                 b_idx[m], aq[m], alen[m], ar[m] = b, a_q, a_len, a_r
-            qb, qe, rb, re, score = jax.device_get(extend_chains(
-                self.text_j, enc_j, lens_j,
-                jnp.asarray(b_idx), jnp.asarray(aq), jnp.asarray(alen),
-                jnp.asarray(ar), l_pac=l_pac,
-                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-                e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
-                pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
-                w=opt.w))
+            if self.mesh is not None:
+                res = self._sh_extend(
+                    enc_j, lens_j, jnp.asarray(b_idx), jnp.asarray(aq),
+                    jnp.asarray(alen), jnp.asarray(ar))
+            else:
+                res = extend_chains(
+                    self.text_j, enc_j, lens_j,
+                    jnp.asarray(b_idx), jnp.asarray(aq),
+                    jnp.asarray(alen), jnp.asarray(ar), l_pac=l_pac,
+                    o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                    e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
+                    pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
+                    w=opt.w)
+            qb, qe, rb, re, score = jax.device_get(res)
             for m, (b, ch) in enumerate(entries):
                 regions[b].append(AlnReg(
                     int(rb[m]), int(re[m]), int(qb[m]), int(qe[m]),
@@ -287,11 +356,17 @@ class BWAAligner:
             tl[m] = r.re - r.rb
             q[m, :ql[m]] = enc[b, r.qb:r.qe]
             t[m, :tl[m]] = self.text[r.rb:r.re]
-        score, ops, nms = jax.device_get(global_and_traceback(
-            jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t), jnp.asarray(tl),
-            o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-            e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
-            band=2 * opt.w + 8))
+        if self.mesh is not None:
+            res = self._sh_global(jnp.asarray(q), jnp.asarray(ql),
+                                  jnp.asarray(t), jnp.asarray(tl))
+        else:
+            res = global_and_traceback(
+                jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
+                jnp.asarray(tl),
+                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
+                band=2 * opt.w + 8)
+        score, ops, nms = jax.device_get(res)
 
         l_pac = self.index.l_pac
         for m, (b, r) in enumerate(flat):

@@ -81,3 +81,26 @@ def test_graft_dryrun_multichip():
     out = jax.jit(fn)(*args)
     assert np.asarray(out[0]).shape == (8,)
     mod.dryrun_multichip(8)
+
+
+def test_mesh_aligner_matches_single(setup):
+    """Full aligner under an 8-device mesh must produce identical
+    records to the single-device path."""
+    from seqlib_tpu.align import BWAAligner
+    from seqlib_tpu.sim import simulate_pairs
+    idx, fm, cat = setup
+    seqs = [(a.name, a.length) for a in idx.ref.anns]
+    pairs = simulate_pairs([("g", cat)], 24, read_len=120, seed=2)
+    reads = [u.seq for u in pairs[0]]
+    names = [u.name for u in pairs[1]]
+    single = BWAAligner(idx)
+    meshed = BWAAligner(idx, mesh=make_mesh())
+    out1 = single.align_batch(reads, names)
+    out2 = meshed.align_batch(reads, names)
+    assert len(out1) == len(out2)
+    for rs1, rs2 in zip(out1, out2):
+        assert len(rs1) == len(rs2)
+        for a, b in zip(rs1, rs2):
+            assert (a.tid, a.pos, a.flag, str(a.cigar), a.mapq) == \
+                (b.tid, b.pos, b.flag, str(b.cigar), b.mapq)
+            assert a.get_int_tag("NM") == b.get_int_tag("NM")
