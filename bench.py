@@ -83,9 +83,12 @@ def main():
     h0 = jnp.full(Bs, 30, jnp.int32)
     extend_batch(q, ql, t, tl, h0)["score"].block_until_ready()  # compile
     t0 = time.time()
-    iters = 20
-    for _ in range(iters):
-        extend_batch(q, ql, t, tl, h0)["score"].block_until_ready()
+    iters = 50
+    acc = None
+    for _ in range(iters):  # async dispatch; single sync at the end
+        s = extend_batch(q, ql, t, tl, h0)["score"]
+        acc = s if acc is None else acc + s
+    acc.block_until_ready()
     dt = time.time() - t0
     gcups = Bs * Lq * Lt * iters / dt / 1e9
     print(f"sw extension: {gcups:.2f} Gcells/s", file=sys.stderr)

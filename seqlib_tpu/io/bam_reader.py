@@ -47,7 +47,14 @@ class BamReader:
                 return True
             if not os.path.exists(path):
                 return False
-            if is_bgzf(path):
+            with open(path, "rb") as _fh:
+                magic6 = _fh.read(6)
+            if magic6 == b"CRAM\x03\x00":
+                from .cram import CramReader
+                self._mode = "cram"
+                self._cram = CramReader(path)
+                self._header = self._cram.header
+            elif is_bgzf(path):
                 self._mode = "bam"
                 self._bgzf = BgzfReader(path)
                 self._header = read_bam_header(self._bgzf)
@@ -102,9 +109,18 @@ class BamReader:
             self._bgzf.close()
         if self._sam_fh:
             self._sam_fh.close()
+        if getattr(self, "_cram", None):
+            self._cram.close()
+            self._cram = None
         self._mode = None
         self._bgzf = None
         self._sam_fh = None
+
+    def set_cram_reference(self, fasta: str) -> None:
+        """Reference for CRAM decode (parity: SetCramReference
+        BamReader.cpp:159-167).  The subset CRAM profile stores bases
+        verbatim, so this is accepted and recorded but not required."""
+        self._cram_reference = fasta
 
     def reset(self) -> None:
         """Close + reopen, dropping regions (BamReader.cpp:56-62)."""
@@ -147,6 +163,8 @@ class BamReader:
     def next(self) -> BamRecord | None:
         if self._mode == "sam":
             return self._next_sam()
+        if self._mode == "cram":
+            return self._cram.next()
         if self._mode != "bam":
             return None
         if self._in_region:

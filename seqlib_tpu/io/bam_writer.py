@@ -4,8 +4,7 @@ Parity target: /root/reference/SeqLib/BamWriter.h:16-119 and
 /root/reference/src/BamWriter.cpp — Open by format or extension,
 SetHeader/WriteHeader/WriteRecord/Close/BuildIndex.  Format constants
 mirror ``SeqLib::BAM=4 / SAM=3 / CRAM=6`` (BamWriter.h:10-12); CRAM
-output is emitted as BGZF-BAM with a .cram name (full CRAM codec is a
-host-side roadmap item — see docs/ROADMAP.md).
+uses the container codec in seqlib_tpu.io.cram.
 """
 
 from __future__ import annotations
@@ -28,6 +27,7 @@ class BamWriter:
         self._fmt = fmt
         self._path: str | None = None
         self._bgzf: BgzfWriter | None = None
+        self._cram = None
         self._sam_fh = None
         self._header: BamHeader | None = None
         self._header_written = False
@@ -51,6 +51,10 @@ class BamWriter:
             if fmt == SAM:
                 self._sam_fh = (sys.stdout if path == "-"
                                 else open(path, "w"))
+            elif fmt == CRAM:
+                from .cram import CramWriter
+                target = sys.stdout.buffer if path == "-" else path
+                self._cram = CramWriter(target)
             else:
                 target = sys.stdout.buffer if path == "-" else path
                 self._bgzf = BgzfWriter(target)
@@ -74,6 +78,8 @@ class BamWriter:
             self._sam_fh.write(self._header.as_string())
             if not self._header.as_string().endswith("\n"):
                 self._sam_fh.write("\n")
+        elif self._fmt == CRAM:
+            self._cram.write_header(self._header)
         else:
             write_bam_header(self._bgzf, self._header)
         self._header_written = True
@@ -86,6 +92,9 @@ class BamWriter:
             self.write_header()
         if self._fmt == SAM:
             self._sam_fh.write(rec.to_sam(self._header) + "\n")
+            return True
+        if self._fmt == CRAM:
+            self._cram.write_record(rec)
             return True
         voff_beg = self._bgzf.tell_virtual()
         self._bgzf.write(encode_record(rec))
@@ -136,6 +145,10 @@ class BamWriter:
             if self._sam_fh not in (None, sys.stdout):
                 self._sam_fh.close()
             self._sam_fh = None
+        elif self._fmt == CRAM:
+            if self._cram is not None:
+                self._cram.close()
+                self._cram = None
         elif self._bgzf is not None:
             self._bgzf.close()
             self._bgzf = None
