@@ -56,13 +56,13 @@ def main():
     names = [r.name for r in reads]
     rseqs = [r.seq for r in reads]
 
-    B = 1024
+    B = 4096
     # warmup/compile
     t0 = time.time()
     aln.align_batch(rseqs[:B], names[:B])
     print(f"warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
 
-    n_bench = min(8192, len(reads))
+    n_bench = min(8192, len(reads))  # full reference fastq
     t0 = time.time()
     out = []
     for i in range(0, n_bench, B):
