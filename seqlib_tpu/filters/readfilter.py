@@ -282,6 +282,26 @@ class AbstractRule:
         elif "!motif" in value:
             self.add_motif_rule(str(value["!motif"]), True)
 
+    def __repr__(self):
+        """(parity: operator<< ReadFilter.cpp:661-697)"""
+        if self.is_every():
+            return "  Rule:   ALL"
+        parts = []
+        if self.read_group:
+            parts.append(f"Read Group: {self.read_group}")
+        for name, rng in (("isize", self.isize), ("mapq", self.mapq),
+                          ("length", self.len), ("clip", self.clip),
+                          ("nm", self.nm), ("xp", self.xp),
+                          ("nbases", self.nbases), ("ins", self.ins),
+                          ("del", self.dele)):
+            if not rng.is_every():
+                parts.append(f"{name}:{rng!r}")
+        if self.subsam_frac < 1:
+            parts.append(f"sub:{self.subsam_frac}")
+        if self.aho.count:
+            parts.append(f"motif: {self.aho.file}")
+        return "  Rule: " + " -- ".join(parts)
+
     def is_valid(self, r: BamRecord) -> bool:
         if self.is_every():
             return True
@@ -368,6 +388,12 @@ class ReadFilter:
                 GenomicRegion(r.mtid, r.mpos, r.mpos + r.length())):
             return True
         return False
+
+    def __repr__(self):
+        head = (f"Region: {self.id or 'WG'}"
+                + (" (excluder)" if self.excluder else "")
+                + f" seen-pass:{self.m_count}")
+        return "\n".join([head] + [repr(r) for r in self.m_abstract_rules])
 
     def is_valid(self, r: BamRecord) -> bool:
         """Read passes if ANY rule passes; empty rules = pass
@@ -475,3 +501,8 @@ class ReadFilterCollection:
         for rf in self.m_regions:
             out.concat(rf.m_grv)
         return out
+
+    def __repr__(self):
+        return (f"ReadFilterCollection: seen={self.m_count_seen} "
+                f"passed={self.m_count}\n"
+                + "\n".join(repr(rf) for rf in self.m_regions))

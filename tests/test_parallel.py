@@ -104,3 +104,31 @@ def test_mesh_aligner_matches_single(setup):
             assert (a.tid, a.pos, a.flag, str(a.cigar), a.mapq) == \
                 (b.tid, b.pos, b.flag, str(b.cigar), b.mapq)
             assert a.get_int_tag("NM") == b.get_int_tag("NM")
+
+
+def test_multihost_helpers_single_process():
+    from seqlib_tpu.parallel.multihost import (allreduce_stats, host_shard,
+                                               init_multihost, part_path)
+    pid, n = init_multihost()
+    assert (pid, n) == (0, 1)
+    assert list(host_shard([1, 2, 3], 0, 2)) == [1, 3]
+    assert list(host_shard([1, 2, 3], 1, 2)) == [2]
+    assert allreduce_stats({"a": 2.0}) == {"a": 2.0}
+    assert part_path("out.bam", 3) == "out.part0003.bam"
+    assert part_path("outdir/x", 0) == "outdir/x.part0000"
+
+
+def test_scaling_measurement(setup):
+    from seqlib_tpu.parallel.scaling import measure_scaling
+    idx, fm, cat = setup
+    from seqlib_tpu.core.seq import encode_nt4
+    rng = np.random.default_rng(3)
+    B, L = 16, 128
+    enc = np.full((B, L), 4, np.uint8)
+    for i in range(B):
+        p = int(rng.integers(0, len(cat) - L))
+        enc[i] = encode_nt4(cat[p:p + L])
+    rows = measure_scaling(fm, enc, np.full(B, L), sizes=[1, 2], iters=1)
+    assert [r["n_devices"] for r in rows] == [1, 2]
+    assert rows[0]["efficiency"] == 1.0
+    assert all(r["reads_per_s"] > 0 for r in rows)
