@@ -35,7 +35,7 @@ from ..core.unaligned import UnalignedSequence
 from ..index.fmindex import FMIndex
 from ..index.pack import both_strands
 from ..ops.fm import DeviceFMIndex
-from .chain import chain_seeds, filter_chains
+from .chain import chain_batch, chain_seeds, filter_chains
 from .device_pipeline import (extend_chains, global_and_traceback,
                               seed_and_locate)
 from .options import AlignerOptions
@@ -204,41 +204,34 @@ class BWAAligner:
                                   max_occ=opt.max_occ,
                                   k_occ=MAX_OCC_LOCATE)
         out = jax.device_get(out)
-        n = out["n_seeds"]
-        qb_arr, qe_arr = out["qbeg"], out["qend"]
         pos = out["pos"]
         frac_reps = out["rep_cov"] / np.maximum(lens, 1)
 
-        # host chaining (cheap: a handful of occurrences per read)
-        all_chains: list[list] = []
-        for b in range(B):
-            occs = []
-            for s in range(int(n[b])):
-                qb, qe = int(qb_arr[b, s]), int(qe_arr[b, s])
-                for k in range(pos.shape[2]):
-                    p = int(pos[b, s, k])
-                    if p < 0:
-                        continue
-                    # occurrence must not span the fwd/rev midpoint
-                    if p < l_pac <= p + (qe - qb):
-                        continue
-                    occs.append((qb, qe, p))
-            chains = filter_chains(
-                chain_seeds(occs, l_pac, opt.max_chain_gap, opt.w),
-                opt.drop_ratio, opt.min_chain_weight, MAX_CHAINS)
-            all_chains.append(chains)
+        # vectorized chaining over the whole batch
+        qb3 = np.broadcast_to(out["qbeg"][:, :, None], pos.shape)
+        qe3 = np.broadcast_to(out["qend"][:, :, None], pos.shape)
+        seed_len3 = qe3 - qb3
+        valid = (pos >= 0) & ~((pos < l_pac) & (pos + seed_len3 > l_pac))
+        ridx, sidx, kidx = np.nonzero(valid)
+        ch = chain_batch(
+            ridx.astype(np.int64), qb3[ridx, sidx, kidx].astype(np.int64),
+            qe3[ridx, sidx, kidx].astype(np.int64),
+            pos[ridx, sidx, kidx].astype(np.int64),
+            l_pac, band=opt.w, max_chain_gap=opt.max_chain_gap,
+            drop_ratio=opt.drop_ratio, max_chains=MAX_CHAINS)
 
-        entries = [(b, ch) for b in range(B) for ch in all_chains[b]]
+        n_entries = ch["read"].size
         regions: list[list[AlnReg]] = [[] for _ in range(B)]
-        if entries:
-            M = _bucket(len(entries))
+        if n_entries:
+            M = _bucket(n_entries)
             b_idx = np.full(M, -1, np.int32)
             aq = np.zeros(M, np.int32)
             alen = np.zeros(M, np.int32)
             ar = np.zeros(M, np.int32)
-            for m, (b, ch) in enumerate(entries):
-                a_q, a_len, a_r = ch.anchor
-                b_idx[m], aq[m], alen[m], ar[m] = b, a_q, a_len, a_r
+            b_idx[:n_entries] = ch["read"]
+            aq[:n_entries] = ch["anchor_q"]
+            alen[:n_entries] = ch["anchor_len"]
+            ar[:n_entries] = ch["anchor_r"]
             if self.mesh is not None:
                 res = self._sh_extend(
                     enc_j, lens_j, jnp.asarray(b_idx), jnp.asarray(aq),
@@ -253,10 +246,12 @@ class BWAAligner:
                     pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
                     w=opt.w)
             qb, qe, rb, re, score = jax.device_get(res)
-            for m, (b, ch) in enumerate(entries):
+            for m in range(n_entries):
+                b = int(ch["read"][m])
                 regions[b].append(AlnReg(
                     int(rb[m]), int(re[m]), int(qb[m]), int(qe[m]),
-                    int(score[m]), ch.weight, float(frac_reps[b])))
+                    int(score[m]), int(ch["weight"][m]),
+                    float(frac_reps[b])))
         for b in range(B):
             regions[b] = self._dedup_and_mark(regions[b])
         return regions
