@@ -333,9 +333,12 @@ class BWAAligner:
         hits_per_read: list[list[dict]] = [[] for _ in range(len(regions))]
         if not flat:
             return hits_per_read
-        # static shapes: query bucket = read length, target = +2w slack
+        # static shapes: query bucket = read length; target slack covers
+        # deletions up to 128 bp (bwa's band w admits up to w-gaps, but
+        # spans beyond L+128 are vanishingly rare — such regions fall
+        # back to being dropped; see ROADMAP)
         Lq = enc.shape[1]
-        Lt = enc.shape[1] + 2 * opt.w
+        Lt = enc.shape[1] + min(2 * opt.w, 128)
         # regions larger than the padded window would misalign: clamp
         flat = [(b, r) for b, r in flat
                 if r.qe - r.qb <= Lq and r.re - r.rb <= Lt]

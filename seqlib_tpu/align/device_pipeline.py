@@ -166,10 +166,13 @@ def global_and_traceback(q, ql, t, tl,
     qi32 = q.astype(jnp.int32)
     ti32 = t.astype(jnp.int32)
     T = 2 * (Lq + Lt) + 4
-    m_idx = jnp.arange(M)
 
-    def body(s, st):
-        i, j, state, ops, nm = st
+    def cond(st):
+        i, j, state, ops, nm, s = st
+        return (s < T) & jnp.any((i > 0) | (j > 0))
+
+    def body(st):
+        i, j, state, ops, nm, s = st
         done = (i == 0) & (j == 0)
         code = jnp.take_along_axis(
             dirs_flat,
@@ -209,11 +212,11 @@ def global_and_traceback(q, ql, t, tl,
                     jnp.where(in_f & ((code & BIT_FEXT) == 0), 0,
                     jnp.where(h_is_m, 0, state)))))))
         ops = ops.at[:, s].set(op.astype(jnp.int8))
-        return (i - di, j - dj, new_state, ops, nm + add_nm)
+        return (i - di, j - dj, new_state, ops, nm + add_nm, s + 1)
 
     init = (ql.astype(jnp.int32), tl.astype(jnp.int32),
             jnp.zeros(M, jnp.int32),
             jnp.full((M, T), OP_NONE, jnp.int8),
-            jnp.zeros(M, jnp.int32))
-    i, j, state, ops, nm = jax.lax.fori_loop(0, T, body, init)
+            jnp.zeros(M, jnp.int32), jnp.int32(0))
+    i, j, state, ops, nm, _ = jax.lax.while_loop(cond, body, init)
     return score, ops, nm
