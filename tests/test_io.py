@@ -357,3 +357,55 @@ def test_cram_via_bamwriter_bamreader(tmp_path):
     w2.write_record(recs[0])
     w2.close()
     assert open(str(tmp_path / "y.cram"), "rb").read(4) == b"CRAM"
+
+
+# -- codec robustness -------------------------------------------------------
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "junk.bam"
+    p.write_bytes(b"\x00" * 100)
+    rd = BamReader()
+    # non-bgzf non-sam junk: open treats as SAM text and fails on read
+    # or returns False; it must not crash
+    try:
+        ok = rd.open(str(p))
+        if ok:
+            try:
+                rd.next()
+            except Exception:
+                pass
+    except Exception:
+        pass
+
+
+def test_truncated_bam_raises(tmp_path):
+    hdr, recs = _make_records(10)
+    path = str(tmp_path / "t.bam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    data = open(path, "rb").read()
+    # cut mid-file (inside a bgzf block)
+    trunc = tmp_path / "trunc.bam"
+    trunc.write_bytes(data[:len(data) * 2 // 3])
+    rd = BamReader()
+    got = 0
+    try:
+        if rd.open(str(trunc)):
+            for _ in iter(rd.next, None):
+                got += 1
+    except (ValueError, EOFError, OSError, Exception):
+        pass
+    assert got <= 10
+
+
+def test_top_level_lazy_exports():
+    import seqlib_tpu
+    assert seqlib_tpu.FMIndex is not None
+    assert seqlib_tpu.BWAAligner is not None
+    assert seqlib_tpu.GRC is not None
+    with pytest.raises(AttributeError):
+        seqlib_tpu.NoSuchThing
