@@ -184,26 +184,33 @@ class BWAAligner:
     # region generation
     # ------------------------------------------------------------------
 
-    def _collect_regions(self, enc: np.ndarray, lens: np.ndarray
-                         ) -> list[list[AlnReg]]:
+    def _dispatch_stage1(self, enc_j, lens_j):
+        """Asynchronously dispatch the seed+locate stage (returns
+        un-fetched device arrays — JAX dispatch is async)."""
+        opt = self.options
+        if self.mesh is not None:
+            return self._sh_seed(enc_j, lens_j)
+        return seed_and_locate(self.fm, enc_j, lens_j,
+                               max_seeds=MAX_SEEDS,
+                               min_seed_len=opt.min_seed_len,
+                               max_occ=opt.max_occ,
+                               k_occ=MAX_OCC_LOCATE)
+
+    def _collect_regions(self, enc: np.ndarray, lens: np.ndarray,
+                         stage1=None) -> list[list[AlnReg]]:
         """enc [B, L] nt4 codes (4-padded); returns per-read region
         lists (deduped, primary/secondary marked).  Two fused device
-        dispatches: seed_and_locate + extend_chains."""
+        dispatches: seed_and_locate + extend_chains.  ``stage1`` may be
+        a pre-dispatched seed result (pipelined streaming)."""
         opt = self.options
         B, L = enc.shape
         l_pac = self.index.l_pac
 
         enc_j = jnp.asarray(enc)
         lens_j = jnp.asarray(lens.astype(np.int32))
-        if self.mesh is not None:
-            out = self._sh_seed(enc_j, lens_j)
-        else:
-            out = seed_and_locate(self.fm, enc_j, lens_j,
-                                  max_seeds=MAX_SEEDS,
-                                  min_seed_len=opt.min_seed_len,
-                                  max_occ=opt.max_occ,
-                                  k_occ=MAX_OCC_LOCATE)
-        out = jax.device_get(out)
+        if stage1 is None:
+            stage1 = self._dispatch_stage1(enc_j, lens_j)
+        out = jax.device_get(stage1)
         pos = out["pos"]
         frac_reps = out["rep_cov"] / np.maximum(lens, 1)
 
@@ -399,6 +406,65 @@ class BWAAligner:
     # public API
     # ------------------------------------------------------------------
 
+    def _encode_batch(self, seqs: list[str]):
+        L = _round_up(max(len(s) for s in seqs), 32)
+        Bp = _bucket(len(seqs), mn=8)   # static read-batch bucket
+        enc = np.full((Bp, L), 4, np.uint8)
+        lens = np.zeros(Bp, np.int64)
+        for i, s in enumerate(seqs):
+            e = encode_nt4(s)
+            enc[i, :len(e)] = e
+            lens[i] = len(e)
+        return enc, lens
+
+    def align_stream(self, read_iter, batch_size: int = 4096,
+                     hardclip: bool = False, keep_sec_frac: float = 0.9,
+                     max_secondary: int = 10):
+        """Pipelined streaming alignment: yields (read, records) pairs.
+
+        The next batch's seed stage is dispatched before the current
+        batch's tail stages run, overlapping device compute with host
+        processing (JAX async dispatch).  ``read_iter`` yields
+        UnalignedSequence-like objects (``.name``/``.seq``)."""
+        def batches():
+            buf = []
+            for r in read_iter:
+                buf.append(r)
+                if len(buf) >= batch_size:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        pending = None   # (reads, enc, lens, stage1)
+        for chunk in batches():
+            enc, lens = self._encode_batch([r.seq for r in chunk])
+            s1 = self._dispatch_stage1(
+                jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
+            if pending is not None:
+                yield from self._finish_batch(*pending, hardclip,
+                                              keep_sec_frac,
+                                              max_secondary)
+            pending = (chunk, enc, lens, s1)
+        if pending is not None:
+            yield from self._finish_batch(*pending, hardclip,
+                                          keep_sec_frac, max_secondary)
+
+    def _finish_batch(self, chunk, enc, lens, s1, hardclip,
+                      keep_sec_frac, max_secondary):
+        names = [r.name for r in chunk]
+        seqs = [r.seq for r in chunk]
+        B = len(chunk)
+        regions = self._collect_regions(enc, lens, stage1=s1)[:B]
+        if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
+            regions = [[r for r in rs if r.secondary < 0]
+                       for rs in regions]
+        hits = self._regions_to_hits(enc, lens, names, seqs, regions)
+        for b in range(B):
+            yield chunk[b], self._assemble_records(
+                seqs[b], names[b], hits[b], hardclip, keep_sec_frac,
+                max_secondary)
+
     def align_batch(self, seqs: list[str], names: list[str],
                     hardclip: bool = False, keep_sec_frac: float = 0.9,
                     max_secondary: int = 10) -> list[list[BamRecord]]:
@@ -408,14 +474,7 @@ class BWAAligner:
         B = len(seqs)
         if B == 0:
             return []
-        L = _round_up(max(len(s) for s in seqs), 32)
-        Bp = _bucket(B, mn=8)   # static read-batch bucket
-        enc = np.full((Bp, L), 4, np.uint8)
-        lens = np.zeros(Bp, np.int64)
-        for i, s in enumerate(seqs):
-            e = encode_nt4(s)
-            enc[i, :len(e)] = e
-            lens[i] = len(e)
+        enc, lens = self._encode_batch(seqs)
         regions = self._collect_regions(enc, lens)[:B]
         # keepSecFrac outside [0,1] drops secondaries before conversion
         if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:

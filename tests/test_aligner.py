@@ -232,3 +232,23 @@ def test_sim_bam_reset_and_regions(sim_bam):
     seek_count = sum(1 for _ in iter(rd.next, None))
     assert seek_count > 64
     rd.close()
+
+
+def test_align_stream_matches_batch(aligner):
+    """Pipelined streaming must produce the same records as batch."""
+    from seqlib_tpu.core import UnalignedSequence
+    reads = []
+    for i, rec in enumerate(FastqReader(f"{DATA}/sim1_bcr.fq")):
+        reads.append(rec)
+        if len(reads) >= 70:
+            break
+    batch_out = aligner.align_batch([r.seq for r in reads],
+                                    [r.name for r in reads])
+    stream_out = list(aligner.align_stream(iter(reads), batch_size=32))
+    assert len(stream_out) == len(reads)
+    for (rd, recs), bat, orig in zip(stream_out, batch_out, reads):
+        assert rd.name == orig.name
+        assert len(recs) == len(bat)
+        for a, b in zip(recs, bat):
+            assert (a.tid, a.pos, a.flag, str(a.cigar)) == \
+                (b.tid, b.pos, b.flag, str(b.cigar))
