@@ -191,8 +191,17 @@ class BFC:
         self.kcov = self._estimate_kcov()
         self.min_cov = int(BFC_EC_MIN_COV_COEF * self.kcov + 0.499)
         self.min_cov = max(2, min(self.min_cov, 10))
-        for i, s in enumerate(self.m_seqs):
-            self.m_seqs[i] = self._correct_one(s, k)
+        # two passes: a fix at one end can unlock the greedy scan's
+        # repair of the other end on the next sweep
+        for _ in range(2):
+            changed = False
+            for i, s in enumerate(self.m_seqs):
+                fixed = self._correct_one(s, k)
+                if fixed != s:
+                    changed = True
+                    self.m_seqs[i] = fixed
+            if not changed:
+                break
 
     def _correct_one(self, seq: str, k: int) -> str:
         if len(seq) < k:

@@ -178,10 +178,32 @@ class FermiAssembler:
 
     # -- core overlap assembler -----------------------------------------
 
-    def _assemble(self, seqs: list[str]) -> list[Unitig]:
+    def _assemble(self, seqs: list[str], flt_uniq: bool = True
+                  ) -> list[Unitig]:
         min_ovlp = self.opt.min_asm_ovlp
         if self.opt.aggressive:
             min_ovlp = max(min_ovlp, min_ovlp + 10)
+        # fermi-lite's fml_assemble filters reads carrying singleton
+        # k-mers before graph construction (error reads make bubbles);
+        # same here with the BFC table
+        if flt_uniq and len(seqs) > 50:
+            from .bfc import KmerTable, canonical_kmers, auto_kmer
+            from ..core.seq import encode_nt4
+            total = sum(len(s) for s in seqs)
+            k = self.opt.ec_k or auto_kmer(total)
+            chunks = [canonical_kmers(encode_nt4(s), k) for s in seqs
+                      if len(s) >= k]
+            table = KmerTable(np.concatenate(chunks)) if chunks else None
+            if table is not None and table.keys.size:
+                kept = []
+                for s in seqs:
+                    if len(s) < k:
+                        continue
+                    cnt = table.lookup(canonical_kmers(encode_nt4(s), k))
+                    if (cnt >= 2).all():
+                        kept.append(s)
+                if len(kept) >= 0.5 * len(seqs):
+                    seqs = kept
         # 1) dedup with multiplicity, both orientations
         counts: dict[str, int] = {}
         for s in seqs:
@@ -213,45 +235,47 @@ class FermiAssembler:
         for j, s in enumerate(oriented):
             pref.setdefault(s[:SEED], []).append(j)
 
-        best_succ = [-1] * N
-        best_succ_len = [0] * N
+        MAXC = 4
         cand_succ: list[list[tuple[int, int]]] = [[] for _ in range(N)]
         for i, s in enumerate(oriented):
             L = len(s)
-            # longest proper suffix-prefix overlap: scan p ascending
+            # up to MAXC longest proper suffix-prefix overlaps,
+            # scanning p ascending (longest first)
             for p in range(1, L - min_ovlp + 1):
                 key = s[p:p + SEED]
-                hit = None
                 for j in pref.get(key, ()):
                     if j == i:
                         continue
                     t = oriented[j]
                     olen = L - p
                     if olen < len(t) and t[:olen] == s[p:]:
-                        hit = (j, olen)
+                        cand_succ[i].append((j, olen))
                         break
-                if hit:
-                    cand_succ[i].append(hit)
-                    break  # longest found
-        # drop-ratio pruning + best selection
+                if len(cand_succ[i]) >= MAXC:
+                    break
+        # drop-ratio pruning
         for i, cands in enumerate(cand_succ):
-            if not cands:
-                continue
-            mx = max(o for _, o in cands)
-            cands = [(j, o) for j, o in cands
-                     if o >= self.opt.min_dratio1 * mx]
-            j, o = max(cands, key=lambda x: x[1])
-            best_succ[i] = j
-            best_succ_len[i] = o
-
-        # reciprocal best predecessor
+            if cands:
+                mx = cands[0][1]
+                cand_succ[i] = [(j, o) for j, o in cands
+                                if o >= self.opt.min_dratio1 * mx]
+        # best predecessor over ALL candidate edges
         best_pred = [-1] * N
         best_pred_len = [0] * N
         for i in range(N):
-            j = best_succ[i]
-            if j >= 0 and best_succ_len[i] > best_pred_len[j]:
-                best_pred[j] = i
-                best_pred_len[j] = best_succ_len[i]
+            for j, o in cand_succ[i]:
+                if o > best_pred_len[j]:
+                    best_pred[j] = i
+                    best_pred_len[j] = o
+        # successor = longest candidate whose best pred is us
+        best_succ = [-1] * N
+        best_succ_len = [0] * N
+        for i in range(N):
+            for j, o in cand_succ[i]:
+                if best_pred[j] == i:
+                    best_succ[i] = j
+                    best_succ_len[i] = o
+                    break
 
         def rc_id(i: int) -> int:
             return i + n_fwd if i < n_fwd else i - n_fwd
@@ -321,7 +345,16 @@ class FermiAssembler:
                 continue
             seen.add(key)
             final.append(u)
-        return final
+        # 5) drop contained unitigs (tips absorbed by larger paths)
+        final.sort(key=lambda u: -len(u.seq))
+        kept_out: list[Unitig] = []
+        for u in final:
+            rc = revcomp(u.seq)
+            contained = any(u.seq in big.seq or rc in big.seq
+                            for big in kept_out)
+            if not contained:
+                kept_out.append(u)
+        return kept_out
 
     # -- GFA export (parity: WriteGFA FermiAssembler.cpp:186-205) --------
 
