@@ -147,3 +147,53 @@ def test_header_dictionary_semantics():
     assert h.get_sequence_length(10000) == -1
     assert len(h.sequences()) == h.num_sequences()
     assert h.sequences()[0].length == 249250621
+
+
+# -- bam record manipulation (seq_test.cpp:1127-1239) -----------------------
+
+def test_record_manipulation_golden():
+    from seqlib_tpu.core import BamRecord, Cigar, CigarField
+    cig = Cigar()
+    for op, ln in (("M", 10), ("I", 1), ("M", 10), ("D", 1), ("M", 10),
+                   ("S", 10)):
+        cig.add(CigarField(op, ln))
+    for op in "MIDNSHP=X":
+        assert CigarField(op, 1).type == op
+    with pytest.raises(ValueError):
+        CigarField("L", 1)
+    seq = "A" * 10 + "T" + "C" * 10 + "G" * 10 + "A" * 10
+    assert cig.num_query_consumed() == 41
+    assert cig.num_reference_consumed() == 31
+    cig2 = Cigar(str(cig))
+    assert cig == cig2
+    assert all(cig[i] == cig2[i] for i in range(len(cig)))
+
+    gr_wrong = GenomicRegion(0, 100, 131)
+    gr = GenomicRegion(0, 100, 130)
+    with pytest.raises(ValueError):
+        BamRecord("dumname", seq, gr_wrong, cig)
+    with pytest.raises(ValueError):
+        BamRecord("dumname", seq + "A", gr, cig)
+    br = BamRecord("dumname", seq, gr, cig)
+    assert br.sequence() == seq
+    assert br.get_cigar() == cig
+    assert br.qname == "dumname"
+    assert br.position() == 100
+    assert br.length() == 41
+    assert br.chr_id() == 0
+
+
+def test_record_mutation_golden():
+    from seqlib_tpu.core import BamRecord, Cigar, CigarField
+    r = BamRecord("q", "A" * 101, GenomicRegion(0, 100, 200), Cigar("101M"))
+    c2 = Cigar()
+    c2.add(CigarField("S", 101))
+    r.set_cigar(c2)
+    assert str(r.cigar) == "101S"
+    c3 = Cigar("10S91M")
+    r.set_cigar(c3)
+    assert str(r.cigar) == "10S91M"
+    r.set_sequence("ACTGGACTACAC")
+    assert r.seq == "ACTGGACTACAC"
+    r.set_qname("dummy_qname")
+    assert r.qname == "dummy_qname"
