@@ -100,3 +100,14 @@ def test_cli_align_bam_out(small_fastq, indexed_ref, tmp_path):
     recs = list(iter(rd.next, None))
     assert len(recs) >= 90
     assert rd.header().num_sequences() == 4
+
+
+def test_readme_example_runs():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples",
+                                      "readme_examples.py")],
+        capture_output=True, text=True, timeout=400,
+        env={**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert "alignment" in r.stdout
+    assert "my_seq" in r.stdout
