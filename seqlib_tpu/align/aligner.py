@@ -81,6 +81,34 @@ def _ops_to_cigar(ops_row: np.ndarray) -> list[tuple[str, int]]:
     return [("MDI"[real[s]], int(e - s)) for s, e in zip(starts, ends)]
 
 
+def _ops_to_cigars_batch(ops: np.ndarray, n_rows: int
+                         ) -> list[list[tuple[str, int]]]:
+    """Batched run-length decode of the device traceback output.
+
+    ops [M, T] int8 step codes in reverse walk order (OP_NONE=3
+    padding).  One numpy pass over the whole matrix instead of a
+    Python loop per region."""
+    sub = ops[:n_rows, ::-1]
+    mask = sub < 3
+    rows, cols = np.nonzero(mask)
+    vals = sub[rows, cols]
+    if vals.size == 0:
+        return [[] for _ in range(n_rows)]
+    # run boundaries: row change or op change
+    brk = np.ones(vals.size, dtype=bool)
+    brk[1:] = (rows[1:] != rows[:-1]) | (vals[1:] != vals[:-1])
+    starts = np.flatnonzero(brk)
+    lens = np.diff(np.append(starts, vals.size))
+    run_rows = rows[starts]
+    run_ops = vals[starts]
+    out: list[list[tuple[str, int]]] = [[] for _ in range(n_rows)]
+    ops_str = "MDI"
+    for r, o, ln in zip(run_rows.tolist(), run_ops.tolist(),
+                        lens.tolist()):
+        out[r].append((ops_str[o], ln))
+    return out
+
+
 def _bucket(n: int, mn: int = 64) -> int:
     """Round a batch dimension up to a power-of-two bucket so jitted
     kernels compile once per bucket instead of once per batch."""
@@ -372,10 +400,11 @@ class BWAAligner:
                 e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
                 band=2 * opt.w + 8)
         score, ops, nms = jax.device_get(res)
+        cigars = _ops_to_cigars_batch(np.asarray(ops), len(flat))
 
         l_pac = self.index.l_pac
         for m, (b, r) in enumerate(flat):
-            cig2l = _ops_to_cigar(ops[m])
+            cig2l = cigars[m]
             nm = int(nms[m])
             is_rev = r.rb >= l_pac
             L = int(lens[b])
