@@ -81,6 +81,18 @@ def _ops_to_cigar(ops_row: np.ndarray) -> list[tuple[str, int]]:
     return [("MDI"[real[s]], int(e - s)) for s, e in zip(starts, ends)]
 
 
+def _unpack_ops(packed: np.ndarray) -> np.ndarray:
+    """Inverse of the device 2-bit packing -> [M, 4*Tp] step codes."""
+    p = packed.astype(np.uint8)
+    M, Tp = p.shape
+    out = np.empty((M, Tp * 4), np.uint8)
+    out[:, 0::4] = p & 3
+    out[:, 1::4] = (p >> 2) & 3
+    out[:, 2::4] = (p >> 4) & 3
+    out[:, 3::4] = (p >> 6) & 3
+    return out
+
+
 def _ops_to_cigars_batch(ops: np.ndarray, n_rows: int
                          ) -> list[list[tuple[str, int]]]:
     """Batched run-length decode of the device traceback output.
@@ -160,7 +172,7 @@ class BWAAligner:
             seed_and_locate, fm, max_seeds=MAX_SEEDS,
             min_seed_len=opt.min_seed_len, max_occ=opt.max_occ,
             k_occ=MAX_OCC_LOCATE)
-        seed_out = dict(qbeg=dp2, qend=dp2, intv_sz=dp2, n_seeds=dp1,
+        seed_out = dict(qbeg=dp2, qend=dp2,
                         pos=P("dp", None, None), rep_cov=dp1)
         self._sh_seed = jax.jit(jax.shard_map(
             seed_fn, mesh=mesh, in_specs=(dp2, dp1),
@@ -399,8 +411,9 @@ class BWAAligner:
                 o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
                 e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
                 band=2 * opt.w + 8)
-        score, ops, nms = jax.device_get(res)
-        cigars = _ops_to_cigars_batch(np.asarray(ops), len(flat))
+        score, packed, nms = jax.device_get(res)
+        cigars = _ops_to_cigars_batch(_unpack_ops(np.asarray(packed)),
+                                      len(flat))
 
         l_pac = self.index.l_pac
         for m, (b, r) in enumerate(flat):

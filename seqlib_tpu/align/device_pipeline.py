@@ -54,8 +54,9 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
     pos = sa_lookup(fm, ranks.reshape(-1)).reshape(B, max_seeds, k_occ)
     rep_cov = jnp.sum(
         jnp.where(repetitive, seeds["qend"] - seeds["qbeg"], 0), axis=1)
-    return dict(qbeg=seeds["qbeg"], qend=seeds["qend"],
-                intv_sz=sz, n_seeds=n, pos=pos, rep_cov=rep_cov)
+    # only what the host chaining needs crosses the link
+    return dict(qbeg=seeds["qbeg"], qend=seeds["qend"], pos=pos,
+                rep_cov=rep_cov)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -219,4 +220,10 @@ def global_and_traceback(q, ql, t, tl,
             jnp.full((M, T), OP_NONE, jnp.int8),
             jnp.zeros(M, jnp.int32), jnp.int32(0))
     i, j, state, ops, nm, _ = jax.lax.while_loop(cond, body, init)
-    return score, ops, nm
+    # pack 4 step codes per byte: 4x less data over the host link
+    Tp = (T + 3) // 4 * 4
+    opsp = jnp.full((M, Tp), OP_NONE, jnp.int8).at[:, :T].set(ops)
+    q4 = opsp.reshape(M, Tp // 4, 4).astype(jnp.uint8)
+    packed = (q4[:, :, 0] | (q4[:, :, 1] << 2) | (q4[:, :, 2] << 4)
+              | (q4[:, :, 3] << 6))
+    return score, packed, nm
