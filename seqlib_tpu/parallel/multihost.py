@@ -49,18 +49,32 @@ def host_shard(items, process_id: int | None = None,
 
 
 def allreduce_stats(values: dict[str, float]) -> dict[str, float]:
-    """Sum small host-level counters across processes (DCN psum)."""
+    """Sum small host-level counters across processes (DCN psum).
+
+    Each device carries its process's value divided by the local device
+    count, sharded over a global mesh, so the psum yields exactly the
+    per-process sum (a replicated psum would multiply by device count).
+    """
     if jax.process_count() == 1:
         return dict(values)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     keys = sorted(values)
-    arr = jnp.asarray([float(values[k]) for k in keys])
-    mesh = jax.sharding.Mesh(
-        np.array(jax.devices()).reshape(-1), ("all",))
+    nk = len(keys)
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
+    local = np.tile(
+        np.asarray([float(values[k]) / n_local for k in keys],
+                   dtype=np.float64), (n_local, 1))
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("all",))
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("all", None)), local, (n_global, nk))
     summed = jax.jit(jax.shard_map(
         lambda x: jax.lax.psum(x, "all"),
-        mesh=mesh, in_specs=jax.sharding.PartitionSpec(),
-        out_specs=jax.sharding.PartitionSpec(), check_vma=False))(arr)
-    return {k: float(v) for k, v in zip(keys, np.asarray(summed))}
+        mesh=mesh, in_specs=P("all", None),
+        out_specs=P(), check_vma=False))(garr)
+    res = np.asarray(jax.device_get(
+        summed.addressable_data(0))).reshape(-1)[:nk]
+    return {k: float(v) for k, v in zip(keys, res)}
 
 
 def part_path(output: str, process_id: int | None = None) -> str:
