@@ -90,7 +90,28 @@ def main():
     acc.block_until_ready()
     dt = time.time() - t0
     gcups = Bs * Lq * Lt * iters / dt / 1e9
-    print(f"sw extension: {gcups:.2f} Gcells/s", file=sys.stderr)
+    print(f"sw extension (dispatch-bound): {gcups:.2f} Gcells/s",
+          file=sys.stderr)
+
+    # true on-device rate: K dependent iterations fused in ONE program
+    # (h0 chains through each call), so link latency is paid once
+    import jax.numpy as jnpp
+
+    K = 64
+
+    @jax.jit
+    def chained(q, ql, t, tl, h0):
+        def body(_, h):
+            return extend_batch(q, ql, t, tl, h)["score"] % 1000
+        return jax.lax.fori_loop(0, K, body, h0)
+
+    chained(q, ql, t, tl, h0).block_until_ready()  # compile
+    t0 = time.time()
+    chained(q, ql, t, tl, h0).block_until_ready()
+    dt = time.time() - t0
+    gcups_dev = Bs * Lq * Lt * K / dt / 1e9
+    print(f"sw extension (on-device): {gcups_dev:.2f} Gcells/s",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "reads_aligned_per_sec_per_chip",

@@ -395,6 +395,15 @@ class BamRecord:
             return str(v)
         return None
 
+    def append_tag(self, tag: str, val: str, delim: str = "x") -> None:
+        """Append to an existing Z tag, delimited (parity: AppendTag
+        BamRecord.h:420)."""
+        cur = self.get_z_tag(tag)
+        if cur is None:
+            self.add_z_tag(tag, val)
+        else:
+            self.tags[tag] = ("Z", f"{cur}{delim}{val}")
+
     def remove_tag(self, tag: str) -> None:
         self.tags.pop(tag, None)
 

@@ -275,3 +275,11 @@ def test_unaligned_sequence_fastq():
     u = UnalignedSequence("r1", "ACGT", "IIII")
     assert u.to_fastq() == "@r1\nACGT\n+\nIIII\n"
     assert UnalignedSequence("r2", "AC").to_fastq() == "@r2\nAC\n+\nII\n"
+
+
+def test_append_tag():
+    r = BamRecord()
+    r.append_tag("SW", "a")
+    assert r.get_z_tag("SW") == "a"
+    r.append_tag("SW", "b")
+    assert r.get_z_tag("SW") == "axb"
