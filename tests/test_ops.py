@@ -210,3 +210,25 @@ def test_extend_variable_lengths(sw_pairs):
     assert out["score"][0] == s0 and out["gscore"][0] == g0
     s1, g1 = _ref_extend(qs[1], ts[1][:30], 30)
     assert out["score"][1] == s1 and out["gscore"][1] == g1
+
+
+# -- Pallas kernel (interpret mode on CPU) ----------------------------------
+
+def test_pallas_extend_matches_xla(sw_pairs):
+    import jax.numpy as jnp
+    from seqlib_tpu.ops.sw_pallas import extend_batch_pallas
+    qs, ts = sw_pairs
+    B, Lq = qs.shape
+    Lt = ts.shape[1]
+    ql = np.full(B, Lq, np.int32)
+    tl = np.full(B, Lt, np.int32)
+    ql[0] = 25
+    tl[1] = 30
+    h0 = np.full(B, 30, np.int32)
+    ref = extend_batch(jnp.asarray(qs), jnp.asarray(ql),
+                       jnp.asarray(ts), jnp.asarray(tl), jnp.asarray(h0))
+    got = extend_batch_pallas(jnp.asarray(qs), jnp.asarray(ql),
+                              jnp.asarray(ts), jnp.asarray(tl),
+                              jnp.asarray(h0), interpret=True)
+    for k in ref:
+        assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), k
