@@ -43,7 +43,6 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
                    score_ref, qle_ref, tle_ref, gscore_ref, gtle_ref,
                    *, LQ: int, TW1: int, o_del: int, e_del: int,
                    o_ins: int, e_ins: int, match: int, mismatch: int):
-    q = q_ref[:].astype(jnp.int32)            # [BT, LQ]
     tt = t_ref[:].astype(jnp.int32)           # [BT, TW1-1]
     ql = ql_ref[:].astype(jnp.int32)          # [BT, 1]
     tl = tl_ref[:].astype(jnp.int32)
@@ -59,7 +58,7 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
 
     def body(i, st):
         h_prev, f_prev, best_pack, g_row = st
-        qi = jax.lax.dynamic_slice(q, (0, i), (BT, 1))        # [BT, 1]
+        qi = q_ref[:, pl.ds(i, 1)].astype(jnp.int32)          # [BT, 1]
         is_match = (tt == qi) & (tt < 4) & (qi < 4)
         sub = jnp.where(is_match, match, -mismatch)           # [BT, TW1-1]
         M = h_prev[:, :-1] + sub
