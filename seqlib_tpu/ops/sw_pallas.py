@@ -86,16 +86,21 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
     h, f, best_pack, g_row = jax.lax.fori_loop(
         0, LQ, body, (h_row0, neg, neg, neg))
 
+    BIG = jnp.int32(0x7FFFFFFF)
     col_best = jnp.max(best_pack, axis=1, keepdims=True)
-    btle = jnp.argmax(best_pack, axis=1).astype(jnp.int32)[:, None]
+    # first column holding the max (Mosaic has no int argmax)
+    btle = jnp.min(jnp.where(best_pack == col_best, jt, BIG), axis=1,
+                   keepdims=True)
     score = col_best // (1 << _PACK_SHIFT) - _PACK_BIAS
     bqle = 4095 - (col_best % (1 << _PACK_SHIFT)) + 1
     found = score > 0
     score_ref[:] = jnp.where(found, score, 0)
     qle_ref[:] = jnp.where(found, bqle, 0)
     tle_ref[:] = jnp.where(found, btle, 0)
-    gscore_ref[:] = jnp.max(g_row, axis=1, keepdims=True)
-    gtle_ref[:] = jnp.argmax(g_row, axis=1).astype(jnp.int32)[:, None]
+    gbest = jnp.max(g_row, axis=1, keepdims=True)
+    gscore_ref[:] = gbest
+    gtle_ref[:] = jnp.min(jnp.where(g_row == gbest, jt, BIG), axis=1,
+                          keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
