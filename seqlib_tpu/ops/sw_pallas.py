@@ -43,6 +43,8 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
                    score_ref, qle_ref, tle_ref, gscore_ref, gtle_ref,
                    *, LQ: int, TW1: int, o_del: int, e_del: int,
                    o_ins: int, e_ins: int, match: int, mismatch: int):
+    q = q_ref[:].astype(jnp.int32)            # [BT, LQ]
+    q_col = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
     tt = t_ref[:].astype(jnp.int32)           # [BT, TW1-1]
     ql = ql_ref[:].astype(jnp.int32)          # [BT, 1]
     tl = tl_ref[:].astype(jnp.int32)
@@ -58,7 +60,10 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
 
     def body(i, st):
         h_prev, f_prev, best_pack, g_row = st
-        qi = q_ref[:, pl.ds(i, 1)].astype(jnp.int32)          # [BT, 1]
+        # select query column i (Mosaic lane slices must be 128-aligned,
+        # so use a masked reduction instead of a dynamic slice)
+        qi = jnp.max(jnp.where(q_col == i, q, 0), axis=1,
+                     keepdims=True)                           # [BT, 1]
         is_match = (tt == qi) & (tt < 4) & (qi < 4)
         sub = jnp.where(is_match, match, -mismatch)           # [BT, TW1-1]
         M = h_prev[:, :-1] + sub
