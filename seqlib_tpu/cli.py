@@ -38,7 +38,7 @@ def _read_input(args) -> list[UnalignedSequence]:
     return seqs
 
 
-def _emit(seqs, names, args, tag: str) -> None:
+def _emit(seqs, names, args, tag: str, quals=None) -> None:
     """Correctable output: FASTA, or realign + SAM/BAM."""
     if args.fasta or not args.reference:
         out = sys.stdout
@@ -61,9 +61,14 @@ def _emit(seqs, names, args, tag: str) -> None:
         cnames = names[i:i + B]
         results = aln.align_batch(chunk, cnames, hardclip=False,
                                   keep_sec_frac=0.9, max_secondary=10)
-        for recs in results:
+        for k, recs in enumerate(results):
             mark_supplementary(recs)
             for r in recs:
+                # restore input qualities (parity: seqtools.cpp:312-324
+                # SetQualities after AlignSequence)
+                if quals is not None and quals[i + k] \
+                        and len(quals[i + k]) == len(r.seq):
+                    r.set_qualities(quals[i + k])
                 w.write_record(r)
                 n += 1
         if args.verbose:
@@ -105,7 +110,7 @@ def run_bfc(args) -> None:
             break
         corrected.append(nxt[0])
         names.append(nxt[1])
-    _emit(corrected, names, args, "bfc")
+    _emit(corrected, names, args, "bfc", quals=b.m_quals)
 
 
 def run_fml(args) -> None:

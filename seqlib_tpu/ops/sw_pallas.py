@@ -9,8 +9,13 @@ inside one Mosaic kernel with DP state resident in VMEM:
 * packed (score, row) running maxima; cross-lane argmax reductions
   happen once at the end.
 
-Used on TPU; tests exercise it in interpret mode and compare against
-the XLA implementation.
+Status (v5e measurements, chained-iteration on-device timing):
+XLA extend_batch sustains 17 Gcells/s; this kernel reaches 12.5 at
+BT=64 (2.2 at BT=8) — the per-row masked column select and the
+roll-based scan don't yet beat XLA's fused loop body, so production
+uses the XLA path and this kernel remains the substrate for further
+Mosaic tuning (int16 state, transposed query loads, two-row
+unrolling).  Bit-exact vs extend_batch on TPU and in interpret mode.
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sw import NEG, _PACK_BIAS, _PACK_SHIFT
 
-BT = 8  # batch tile (sublanes)
+BT = 64  # batch tile (sublanes per program)
 
 
 def _shift_right_max(g: jax.Array, TW1: int) -> jax.Array:
@@ -50,7 +55,8 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
     tl = tl_ref[:].astype(jnp.int32)
     h0 = h0_ref[:].astype(jnp.int32)
 
-    jt = jax.lax.broadcasted_iota(jnp.int32, (BT, TW1), 1)
+    bt = q_ref.shape[0]
+    jt = jax.lax.broadcasted_iota(jnp.int32, (bt, TW1), 1)
     tmask = jt <= tl
     h_row0 = h0 - jnp.where(jt > 0, o_del + e_del * jt, 0)
     h_row0 = jnp.where((h_row0 < 0) & (jt > 0), NEG, h_row0)
@@ -87,7 +93,7 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
         g_row = jnp.where((i == ql - 1), h, g_row)
         return (h, f, best_pack, g_row)
 
-    neg = jnp.full((BT, TW1), NEG, jnp.int32)
+    neg = jnp.full((bt, TW1), NEG, jnp.int32)
     h, f, best_pack, g_row = jax.lax.fori_loop(
         0, LQ, body, (h_row0, neg, neg, neg))
 
