@@ -1,0 +1,70 @@
+"""Host BAM I/O benchmark (the reference's own benchmark workload:
+read N records "into a vector" — /root/reference/benchmark/
+benchmark.cpp:50-58 reads 5M; we default to 1M and report rec/s).
+
+Run manually: python bench_io.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    from seqlib_tpu.core import BamHeader, BamRecord, Cigar
+    from seqlib_tpu.io import BamWriter
+    from seqlib_tpu.io.fast_bam import FastBamReader
+
+    n = int(os.environ.get("BENCH_IO_RECORDS", "1000000"))
+    path = "/tmp/bench_io.bam"
+    if not os.path.exists(path + f".{n}.ok"):
+        print(f"writing {n} records...", file=sys.stderr)
+        hdr = BamHeader([("c1", 1 << 30)])
+        w = BamWriter()
+        w.open(path)
+        w.set_header(hdr)
+        rec = BamRecord()
+        rec.qname = "read0000000"
+        rec.tid = 0
+        rec.mapq = 60
+        rec.flag = 99
+        rec.seq = "ACGT" * 37 + "AC"
+        rec.qual = np.full(150, 30, np.uint8)
+        rec.cigar = Cigar("150M")
+        rec.mtid = 0
+        rec.isize = 300
+        rec.add_int_tag("NM", 1)
+        for i in range(n):
+            rec.pos = i * 5
+            rec.mpos = i * 5 + 200
+            w.write_record(rec)
+        w.close()
+        open(path + f".{n}.ok", "w").write("1")
+
+    rd = FastBamReader(path)
+    t0 = time.time()
+    total = 0
+    batches = []
+    while True:
+        b = rd.read_batch()
+        if b is None:
+            break
+        total += len(b)
+        batches.append(b)  # "into a vector"
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "bam_read_records_per_sec",
+        "value": round(total / dt, 1),
+        "unit": "rec/s",
+        "records": total,
+        "seconds": round(dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,7 @@ import numpy as np
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC_DIR = os.path.join(_REPO, "native")
 _BUILD_DIR = os.path.join(_SRC_DIR, "build")
-_SOURCES = ["sais.cpp"]
+_SOURCES = ["sais.cpp", "bamio.cpp"]
 
 _lib = None
 _lib_tried = False
@@ -33,7 +33,7 @@ def _build_so() -> str | None:
     if os.path.exists(so) and os.path.getmtime(so) >= newest:
         return so
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-           *srcs, "-o", so]
+           *srcs, "-o", so, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return so
@@ -53,8 +53,106 @@ def get_lib():
             lib.sais_u8.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.bgzf_inflate_all.restype = ctypes.c_int64
+            lib.bgzf_inflate_all.argtypes = [u8p, ctypes.c_int64, u8p,
+                                             ctypes.c_int64]
+            lib.bgzf_total_isize.restype = ctypes.c_int64
+            lib.bgzf_total_isize.argtypes = [u8p, ctypes.c_int64]
+            lib.bam_scan_records.restype = ctypes.c_int64
+            lib.bam_scan_records.argtypes = (
+                [u8p, ctypes.c_int64, ctypes.c_int64, i64p]
+                + [i32p] * 8 + [i64p, i32p, i64p, i32p, i64p, i64p,
+                                i64p, i32p, i64p])
+            lib.bam_unpack_seqs.restype = None
+            lib.bam_unpack_seqs.argtypes = [u8p, ctypes.c_int64, i64p,
+                                            i32p, u8p, i64p]
             _lib = lib
     return _lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def bgzf_inflate_all(data: bytes, out_cap: int | None = None):
+    """Native whole-stream BGZF inflate; None if unavailable/failed.
+
+    The exact output size comes from a cheap member-header pre-scan, so
+    inflate runs exactly once."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = out_cap
+    if cap is None:
+        cap = int(lib.bgzf_total_isize(_ptr(src, ctypes.c_uint8),
+                                       src.size))
+        if cap < 0:
+            return None
+    out = np.empty(max(cap, 1), dtype=np.uint8)
+    n = lib.bgzf_inflate_all(
+        _ptr(src, ctypes.c_uint8), src.size,
+        _ptr(out, ctypes.c_uint8), out.size)
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def bam_scan_records(buf: np.ndarray, cap: int):
+    """Native columnar scan of decompressed BAM records.
+
+    Returns (n, columns dict, consumed) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    i32 = lambda: np.empty(cap, np.int32)
+    i64 = lambda: np.empty(cap, np.int64)
+    cols = dict(offsets=i64(), tid=i32(), pos=i32(), mapq=i32(),
+                flag=i32(), lseq=i32(), mtid=i32(), mpos=i32(),
+                isize=i32(), qname_off=i64(), qname_len=i32(),
+                cigar_off=i64(), n_cigar=i32(), seq_off=i64(),
+                qual_off=i64(), aux_off=i64(), aux_len=i32())
+    consumed = np.zeros(1, np.int64)
+    n = lib.bam_scan_records(
+        _ptr(buf, ctypes.c_uint8), buf.size, cap,
+        _ptr(cols["offsets"], ctypes.c_int64),
+        _ptr(cols["tid"], ctypes.c_int32),
+        _ptr(cols["pos"], ctypes.c_int32),
+        _ptr(cols["mapq"], ctypes.c_int32),
+        _ptr(cols["flag"], ctypes.c_int32),
+        _ptr(cols["lseq"], ctypes.c_int32),
+        _ptr(cols["mtid"], ctypes.c_int32),
+        _ptr(cols["mpos"], ctypes.c_int32),
+        _ptr(cols["isize"], ctypes.c_int32),
+        _ptr(cols["qname_off"], ctypes.c_int64),
+        _ptr(cols["qname_len"], ctypes.c_int32),
+        _ptr(cols["cigar_off"], ctypes.c_int64),
+        _ptr(cols["n_cigar"], ctypes.c_int32),
+        _ptr(cols["seq_off"], ctypes.c_int64),
+        _ptr(cols["qual_off"], ctypes.c_int64),
+        _ptr(cols["aux_off"], ctypes.c_int64),
+        _ptr(cols["aux_len"], ctypes.c_int32),
+        _ptr(consumed, ctypes.c_int64))
+    return int(n), {k: v[:n] for k, v in cols.items()}, int(consumed[0])
+
+
+def bam_unpack_seqs(buf: np.ndarray, seq_off: np.ndarray,
+                    lseq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ASCII base blob + per-record start offsets (native loop)."""
+    lib = get_lib()
+    dst_off = np.zeros(lseq.size + 1, np.int64)
+    np.cumsum(lseq, out=dst_off[1:])
+    dst = np.empty(int(dst_off[-1]), np.uint8)
+    lib.bam_unpack_seqs(
+        _ptr(buf, ctypes.c_uint8), lseq.size,
+        _ptr(np.ascontiguousarray(seq_off), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(lseq), ctypes.c_int32),
+        _ptr(dst, ctypes.c_uint8),
+        _ptr(dst_off, ctypes.c_int64))
+    return dst, dst_off
 
 
 # ---------------------------------------------------------------------------

@@ -409,3 +409,56 @@ def test_top_level_lazy_exports():
     assert seqlib_tpu.GRC is not None
     with pytest.raises(AttributeError):
         seqlib_tpu.NoSuchThing
+
+
+# -- native fast BAM reader -------------------------------------------------
+
+def test_fast_bam_reader_parity(tmp_path):
+    from seqlib_tpu.io.fast_bam import FastBamReader
+    from seqlib_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    hdr, recs = _make_records(800, seed=44)
+    path = str(tmp_path / "fast.bam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    fast = FastBamReader(path)
+    assert fast.header.num_sequences() == 2
+    got = list(fast)
+    assert len(got) == len(recs)
+    for a, b in zip(recs, got):
+        assert a.qname == b.qname
+        assert (a.tid, a.pos, a.flag, a.mapq) == (b.tid, b.pos, b.flag,
+                                                  b.mapq)
+        assert a.seq == b.seq
+        assert str(a.cigar) == str(b.cigar)
+        assert np.array_equal(a.qual, b.qual)
+        assert a.get_int_tag("NM") == b.get_int_tag("NM")
+        assert (a.mtid, a.mpos, a.isize) == (b.mtid, b.mpos, b.isize)
+
+
+def test_fast_bam_batch_columnar(tmp_path):
+    from seqlib_tpu.io.fast_bam import FastBamReader
+    from seqlib_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    hdr, recs = _make_records(300, seed=45)
+    path = str(tmp_path / "col.bam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    b = FastBamReader(path).read_batch()
+    assert len(b) == 300
+    assert np.array_equal(b.tid, np.array([r.tid for r in recs]))
+    assert np.array_equal(b.pos, np.array([r.pos for r in recs]))
+    assert np.array_equal(b.flag, np.array([r.flag for r in recs]))
+    blob, starts = b.sequences_nt4()
+    s0 = blob[starts[0]:starts[1]].tobytes().decode()
+    assert s0 == recs[0].seq
