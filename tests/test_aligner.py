@@ -252,3 +252,31 @@ def test_align_stream_matches_batch(aligner):
         for a, b in zip(recs, bat):
             assert (a.tid, a.pos, a.flag, str(a.cigar)) == \
                 (b.tid, b.pos, b.flag, str(b.cigar))
+
+
+def test_real_genome_accuracy_no_confident_errors(aligner, tiny_seqs):
+    """Simulated pairs over the real tiny.fa (true repeats): >=99.5%
+    truth accuracy and ZERO wrong calls with mapq > 0 (ambiguous hits
+    must be flagged mapq 0 — bwa's contract)."""
+    hdr = aligner.index.header_from_index()
+    r1, r2 = simulate_pairs(tiny_seqs, 400, read_len=150,
+                            error_rate=0.002, seed=77)
+    reads = r1 + r2
+    out = aligner.align_batch([u.seq for u in reads],
+                              [u.name for u in reads])
+    ok = confident_wrong = 0
+    for u, recs in zip(reads, out):
+        parts = u.name.rsplit("_", 5)
+        contig, beg, end = parts[0], int(parts[1]), int(parts[2])
+        prim = [r for r in recs if not r.secondary_flag()]
+        assert prim, f"unmapped: {u.name}"
+        r = prim[0]
+        cn = hdr.id2name(r.tid)
+        good = cn == contig and (abs(r.pos - (beg - 1)) <= 25
+                                 or abs(r.pos - (end - 150)) <= 25)
+        if good:
+            ok += 1
+        elif r.mapq > 0:
+            confident_wrong += 1
+    assert ok >= 0.995 * len(reads), f"{ok}/{len(reads)}"
+    assert confident_wrong == 0
