@@ -29,8 +29,21 @@ def _read_input(args) -> list[UnalignedSequence]:
         for rec in FastqReader(args.infasta):
             seqs.append(rec)
     else:
+        path = args.input or "-"
+        if path != "-" and path.endswith(".bam"):
+            # native columnar fast path for BAM inputs
+            from .io.fast_bam import FastBamReader
+            from . import native
+            if native.get_lib() is not None:
+                try:
+                    for rec in FastBamReader(path):
+                        seqs.append(UnalignedSequence(
+                            rec.qname, rec.seq, rec.qualities()))
+                    return seqs
+                except (ValueError, RuntimeError):
+                    seqs = []
         rd = BamReader()
-        if not rd.open(args.input or "-"):
+        if not rd.open(path):
             sys.exit(f"cannot open input {args.input}")
         for rec in iter(rd.next, None):
             seqs.append(UnalignedSequence(rec.qname, rec.seq,
@@ -130,9 +143,47 @@ def run_fml(args) -> None:
 
 
 def run_align(args) -> None:
-    """TPU-native extra: straight bwa-mem-style alignment."""
+    """TPU-native extra: straight bwa-mem-style alignment (optionally
+    paired with -2)."""
+    if getattr(args, "infasta2", None):
+        _run_align_paired(args)
+        return
     seqs = _read_input(args)
     _emit([u.seq for u in seqs], [u.name for u in seqs], args, "align")
+
+
+def _run_align_paired(args) -> None:
+    from .align.pairing import pair_up
+    r1 = list(FastqReader(args.infasta))
+    r2 = list(FastqReader(args.infasta2))
+    if len(r1) != len(r2):
+        sys.exit("paired inputs have different read counts")
+    idx = FMIndex.load(args.reference) if _has_index(args.reference) \
+        else FMIndex.construct(_load_fasta(args.reference))
+    aln = BWAAligner(idx)
+    hdr = idx.header_from_index()
+    fmt = BAM if args.bam else (CRAM if args.cram else SAM)
+    w = BamWriter(fmt)
+    w.open(args.output or "-")
+    w.set_header(hdr)
+    w.write_header()
+    B = 512
+    n = 0
+    for i in range(0, len(r1), B):
+        out1 = aln.align_batch([u.seq for u in r1[i:i + B]],
+                               [u.name for u in r1[i:i + B]])
+        out2 = aln.align_batch([u.seq for u in r2[i:i + B]],
+                               [u.name for u in r2[i:i + B]])
+        for recs1, recs2 in zip(out1, out2):
+            mark_supplementary(recs1)
+            mark_supplementary(recs2)
+            pair_up(recs1, recs2)
+            for r in recs1 + recs2:
+                w.write_record(r)
+                n += 1
+    w.close()
+    if args.verbose:
+        print(f"align(paired): wrote {n} records", file=sys.stderr)
 
 
 def run_index(args) -> None:
@@ -161,6 +212,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="output CRAM (not SAM)")
         sp.add_argument("-F", "--infasta",
                         help="input FASTA/FASTQ instead of BAM/SAM")
+        sp.add_argument("-2", "--infasta2", dest="infasta2",
+                        help="read-2 FASTQ for paired-end alignment")
         sp.add_argument("-G", "--reference",
                         help="reference genome (fasta or index prefix)")
         sp.add_argument("-T", "--target",

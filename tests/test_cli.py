@@ -111,3 +111,31 @@ def test_readme_example_runs():
     assert r.returncode == 0, r.stderr
     assert "alignment" in r.stdout
     assert "my_seq" in r.stdout
+
+
+def test_cli_paired_align(indexed_ref, tmp_path):
+    r1 = os.path.join(DATA, "sim1_bcr.fq")
+    r2 = os.path.join(DATA, "sim2_bcr.fq")
+    # subset to keep runtime small
+    s1, s2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    for src, dst in ((r1, s1), (r2, s2)):
+        with open(src) as fin, open(dst, "w") as fout:
+            for i, line in enumerate(fin):
+                if i >= 200:
+                    break
+                fout.write(line)
+    out = str(tmp_path / "paired.bam")
+    r = run_cli(["align", "-b", "-F", s1, "-2", s2, "-G", indexed_ref,
+                 "-o", out])
+    assert r.returncode == 0, r.stderr
+    from seqlib_tpu.io import BamReader
+    rd = BamReader(out)
+    recs = list(iter(rd.next, None))
+    assert len(recs) >= 90
+    paired = [x for x in recs if x.paired_flag()]
+    assert paired
+    r1s = [x for x in recs if x.flag & 0x40]
+    r2s = [x for x in recs if x.flag & 0x80]
+    assert r1s and r2s
+    proper = [x for x in recs if x.proper_pair()]
+    assert proper  # FR pairs within insert range
