@@ -9,6 +9,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 #include <zlib.h>
 
 namespace {
@@ -68,6 +70,100 @@ int64_t bgzf_inflate_all(const uint8_t* in, int64_t in_len,
     ip += bsize;
   }
   return op;
+}
+
+namespace {
+
+struct Member {
+  int64_t ip;       // compressed offset
+  int32_t bsize;    // member size
+  int32_t xlen;
+  int64_t op;       // decompressed offset
+  uint32_t isize;
+};
+
+bool scan_members(const uint8_t* in, int64_t in_len,
+                  std::vector<Member>* out_members, int64_t* total) {
+  int64_t ip = 0, op = 0;
+  while (ip + 18 <= in_len) {
+    if (in[ip] != 0x1F || in[ip + 1] != 0x8B) return false;
+    uint16_t xlen;
+    std::memcpy(&xlen, in + ip + 10, 2);
+    int64_t xp = ip + 12, xend = xp + xlen;
+    int32_t bsize = -1;
+    while (xp + 4 <= xend) {
+      uint16_t slen;
+      std::memcpy(&slen, in + xp + 2, 2);
+      if (in[xp] == 66 && in[xp + 1] == 67 && slen == 2) {
+        uint16_t bs;
+        std::memcpy(&bs, in + xp + 4, 2);
+        bsize = bs + 1;
+        break;
+      }
+      xp += 4 + slen;
+    }
+    if (bsize < 0 || ip + bsize > in_len) return false;
+    uint32_t isize;
+    std::memcpy(&isize, in + ip + bsize - 4, 4);
+    out_members->push_back(Member{ip, bsize, xlen, op, isize});
+    op += isize;
+    ip += bsize;
+  }
+  *total = op;
+  return true;
+}
+
+bool inflate_member(const uint8_t* in, const Member& m, uint8_t* out) {
+  if (m.isize == 0) return true;
+  const uint8_t* cdata = in + m.ip + 12 + m.xlen;
+  int64_t cdata_len = m.bsize - 12 - m.xlen - 8;
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(cdata);
+  zs.avail_in = static_cast<uInt>(cdata_len);
+  zs.next_out = out + m.op;
+  zs.avail_out = m.isize;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END;
+}
+
+}  // namespace
+
+// Multi-threaded BGZF inflate: members are independent gzip streams,
+// so worker threads decode interleaved stripes.  Returns total
+// decompressed bytes or -1.
+extern "C" int64_t bgzf_inflate_all_mt(const uint8_t* in, int64_t in_len,
+                                       uint8_t* out, int64_t out_cap,
+                                       int32_t n_threads) {
+  std::vector<Member> members;
+  int64_t total = 0;
+  if (!scan_members(in, in_len, &members, &total)) return -1;
+  if (total > out_cap) return -1;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads == 1 || members.size() < 4) {
+    for (const Member& m : members)
+      if (!inflate_member(in, m, out)) return -1;
+    return total;
+  }
+  std::vector<std::thread> ts;
+  std::vector<uint8_t> ok(n_threads, 1);
+  for (int32_t t = 0; t < n_threads; ++t) {
+    ts.emplace_back([&, t]() {
+      for (size_t i = t; i < members.size();
+           i += static_cast<size_t>(n_threads)) {
+        if (!inflate_member(in, members[i], out)) {
+          ok[t] = 0;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  for (int32_t t = 0; t < n_threads; ++t)
+    if (!ok[t]) return -1;
+  return total;
 }
 
 // Total decompressed size of a BGZF stream (sum of member ISIZEs).

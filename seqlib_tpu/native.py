@@ -33,7 +33,7 @@ def _build_so() -> str | None:
     if os.path.exists(so) and os.path.getmtime(so) >= newest:
         return so
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-           *srcs, "-o", so, "-lz"]
+           *srcs, "-o", so, "-lz", "-pthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return so
@@ -61,6 +61,10 @@ def get_lib():
                                              ctypes.c_int64]
             lib.bgzf_total_isize.restype = ctypes.c_int64
             lib.bgzf_total_isize.argtypes = [u8p, ctypes.c_int64]
+            lib.bgzf_inflate_all_mt.restype = ctypes.c_int64
+            lib.bgzf_inflate_all_mt.argtypes = [u8p, ctypes.c_int64, u8p,
+                                                ctypes.c_int64,
+                                                ctypes.c_int32]
             lib.bam_scan_records.restype = ctypes.c_int64
             lib.bam_scan_records.argtypes = (
                 [u8p, ctypes.c_int64, ctypes.c_int64, i64p]
@@ -93,9 +97,10 @@ def bgzf_inflate_all(data: bytes, out_cap: int | None = None):
         if cap < 0:
             return None
     out = np.empty(max(cap, 1), dtype=np.uint8)
-    n = lib.bgzf_inflate_all(
+    n = lib.bgzf_inflate_all_mt(
         _ptr(src, ctypes.c_uint8), src.size,
-        _ptr(out, ctypes.c_uint8), out.size)
+        _ptr(out, ctypes.c_uint8), out.size,
+        ctypes.c_int32(os.cpu_count() or 1))
     if n < 0:
         return None
     return out[:n]
