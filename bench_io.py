@@ -65,6 +65,36 @@ def main():
         "seconds": round(dt, 2),
     }))
 
+    # part B of the reference workload: 1000 random 10 kb region jumps
+    # (benchmark.cpp:89-100) through the BAI index
+    from seqlib_tpu.io import BamReader
+    from seqlib_tpu.core import GenomicRegion
+    if not os.path.exists(path + ".bai"):
+        print("building .bai...", file=sys.stderr)
+        w2 = BamWriter()
+        w2._path = path
+        w2._fmt = 4
+        w2.build_index()
+    from seqlib_tpu.io.bai import BaiIndex
+    from seqlib_tpu.io.fast_bam import fetch_region
+    rng = np.random.default_rng(0)
+    bai = BaiIndex.load(path + ".bai")
+    t0 = time.time()
+    jumps = 1000
+    hit_records = 0
+    for _ in range(jumps):
+        p = int(rng.integers(1, 5 * n - 10000))
+        b = fetch_region(path, 0, p, p + 10000, bai=bai)
+        hit_records += 0 if b is None else len(b)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "bam_region_jumps_per_sec",
+        "value": round(jumps / dt, 1),
+        "unit": "jumps/s",
+        "records_touched": hit_records,
+        "seconds": round(dt, 2),
+    }))
+
 
 if __name__ == "__main__":
     main()

@@ -251,6 +251,25 @@ int64_t bam_scan_records(const uint8_t* buf, int64_t len, int64_t cap,
   return n;
 }
 
+// Reference span per record from CIGAR (sum of M/D/N/=/X lengths).
+void bam_ref_spans(const uint8_t* buf, int64_t n,
+                   const int64_t* cigar_off, const int32_t* n_cigar,
+                   int32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* c = buf + cigar_off[i];
+    int32_t span = 0;
+    for (int32_t k = 0; k < n_cigar[i]; ++k) {
+      uint32_t w;
+      std::memcpy(&w, c + 4 * k, 4);
+      uint32_t op = w & 0xF;
+      // 0=M 2=D 3=N 7== 8=X consume reference
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+        span += w >> 4;
+    }
+    out[i] = span;
+  }
+}
+
 // Unpack 4-bit BAM bases for `n` records into ASCII at dst (each
 // record's bases written contiguously; dst_off[i] gives the start).
 void bam_unpack_seqs(const uint8_t* buf, int64_t n,

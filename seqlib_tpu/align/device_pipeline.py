@@ -28,35 +28,58 @@ OP_M, OP_D, OP_I, OP_NONE = 0, 1, 2, 3
 
 
 @functools.partial(jax.jit, static_argnames=("max_seeds", "min_seed_len",
-                                             "max_occ", "k_occ"))
+                                             "max_occ", "k_occ",
+                                             "split_len", "split_width"))
 def seed_and_locate(fm: DeviceFMIndex, reads, lens,
                     max_seeds: int = 16, min_seed_len: int = 19,
-                    max_occ: int = 500, k_occ: int = 16):
-    """Seed scan + SA locate in one dispatch.
+                    max_occ: int = 500, k_occ: int = 16,
+                    split_len: int = 28, split_width: int = 10):
+    """Seed scan + long-seed re-seeding + SA locate in one dispatch.
 
-    Returns seeds dict + ``pos`` [B, S, K] text positions (-1 invalid)
-    + ``rep_cov`` [B] query bases covered by over-max_occ seeds (for
-    frac_rep in the MAPQ formula).
+    Returns seeds dict + ``pos`` [B, S+1, K] text positions (-1
+    invalid; the extra seed column is bwa-style re-seeding of the
+    longest near-unique seed) + ``rep_cov`` [B] query bases covered by
+    over-max_occ seeds (for frac_rep in the MAPQ formula).
     """
+    from ..ops.fm import reseed_scan
     B = reads.shape[0]
     seeds = collect_seeds(fm, reads, lens, max_seeds=max_seeds,
                           min_seed_len=min_seed_len)
     n, sz, il = seeds["n_seeds"], seeds["intv_sz"], seeds["intv_l"]
+    qb_s, qe_s = seeds["qbeg"], seeds["qend"]
     s_idx = jnp.arange(max_seeds)[None, :]
     in_range = s_idx < n[:, None]
     repetitive = in_range & (sz > max_occ)
     seed_valid = in_range & (sz > 0) & (sz <= max_occ)
-    k_take = jnp.minimum(sz, k_occ)
-    ranks = il[:, :, None] + jnp.arange(k_occ)[None, None, :]
-    occ_valid = seed_valid[:, :, None] \
+
+    # re-seed the longest qualifying seed per read (split_factor rule)
+    seed_len = qe_s - qb_s
+    qualifies = seed_valid & (seed_len >= split_len) & (sz <= split_width)
+    pick = jnp.argmax(jnp.where(qualifies, seed_len, -1), axis=1)
+    bidx = jnp.arange(B)
+    r_active = qualifies[bidx, pick]
+    r_qb, r_qe, r_il, r_sz = reseed_scan(
+        fm, reads, qb_s[bidx, pick], qe_s[bidx, pick],
+        sz[bidx, pick], r_active, min_seed_len=min_seed_len)
+
+    # append the re-seed as an extra seed column
+    qb_all = jnp.concatenate([qb_s, r_qb[:, None]], axis=1)
+    qe_all = jnp.concatenate([qe_s, r_qe[:, None]], axis=1)
+    sz_all = jnp.concatenate([sz, r_sz[:, None]], axis=1)
+    il_all = jnp.concatenate([il, r_il[:, None]], axis=1)
+    valid_all = jnp.concatenate(
+        [seed_valid, ((r_sz > 0) & (r_sz <= max_occ))[:, None]], axis=1)
+
+    S1 = max_seeds + 1
+    k_take = jnp.minimum(sz_all, k_occ)
+    ranks = il_all[:, :, None] + jnp.arange(k_occ)[None, None, :]
+    occ_valid = valid_all[:, :, None] \
         & (jnp.arange(k_occ)[None, None, :] < k_take[:, :, None])
     ranks = jnp.where(occ_valid, ranks, -1).astype(jnp.int32)
-    pos = sa_lookup(fm, ranks.reshape(-1)).reshape(B, max_seeds, k_occ)
-    rep_cov = jnp.sum(
-        jnp.where(repetitive, seeds["qend"] - seeds["qbeg"], 0), axis=1)
+    pos = sa_lookup(fm, ranks.reshape(-1)).reshape(B, S1, k_occ)
+    rep_cov = jnp.sum(jnp.where(repetitive, qe_s - qb_s, 0), axis=1)
     # only what the host chaining needs crosses the link
-    return dict(qbeg=seeds["qbeg"], qend=seeds["qend"], pos=pos,
-                rep_cov=rep_cov)
+    return dict(qbeg=qb_all, qend=qe_all, pos=pos, rep_cov=rep_cov)
 
 
 @functools.partial(jax.jit, static_argnames=(

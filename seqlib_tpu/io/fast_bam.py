@@ -88,6 +88,96 @@ class BamBatch:
             yield self.record(i)
 
 
+def fetch_region(path: str, tid: int, beg: int, end: int,
+                 bai=None) -> BamBatch | None:
+    """Columnar BAI region query: inflate only the compressed span the
+    index points at, native-scan it, and filter by overlap.
+
+    beg/end are 0-based half-open.  Returns None when the region is
+    empty or no index exists."""
+    import os
+    from .bai import BaiIndex
+    if native.get_lib() is None:
+        return None
+    if bai is None:
+        bai_path = path + ".bai"
+        if not os.path.exists(bai_path):
+            return None
+        bai = BaiIndex.load(bai_path)
+    chunks = bai.chunks_for_region(tid, beg, end)
+    if not chunks:
+        return None
+    # group chunks whose compressed gap is small into contiguous reads
+    # (distant parent-bin chunks would otherwise drag one huge range)
+    ranges: list[tuple[int, int, int]] = []   # (co_beg, co_end, within0)
+    GAP = 1 << 16
+    for cb, ce in chunks:
+        co_b, w0, co_e = cb >> 16, cb & 0xFFFF, ce >> 16
+        if ranges and co_b - ranges[-1][1] <= GAP:
+            ranges[-1] = (ranges[-1][0], max(ranges[-1][1], co_e),
+                          ranges[-1][2])
+        else:
+            ranges.append((co_b, co_e, w0))
+
+    parts = []
+    with open(path, "rb") as fh:
+        for co_beg, co_end, within0 in ranges:
+            fh.seek(co_beg)
+            comp = fh.read(co_end - co_beg + (1 << 16))
+            # trim to complete members
+            p = 0
+            while p + 18 <= len(comp):
+                xlen = struct.unpack_from("<H", comp, p + 10)[0]
+                xp, bsize = p + 12, None
+                while xp + 4 <= p + 12 + xlen:
+                    slen = struct.unpack_from("<H", comp, xp + 2)[0]
+                    if comp[xp] == 66 and comp[xp + 1] == 67 and slen == 2:
+                        bsize = struct.unpack_from("<H", comp, xp + 4)[0] + 1
+                        break
+                    xp += 4 + slen
+                if bsize is None or p + bsize > len(comp):
+                    break
+                p += bsize
+            if p == 0:
+                continue
+            buf = native.bgzf_inflate_all(comp[:p])
+            if buf is None:
+                continue
+            view = buf[within0:]
+            cap = int(view.size // 36 + 2)
+            n, cols, _ = native.bam_scan_records(view, cap)
+            if n == 0:
+                continue
+            spans = native.bam_ref_spans(view, cols["cigar_off"],
+                                         cols["n_cigar"])
+            rec_end = cols["pos"] + np.maximum(spans, 1)
+            keep = (cols["tid"] == tid) & (cols["pos"] < end) \
+                & (rec_end > beg)
+            idx = np.flatnonzero(keep)
+            if idx.size:
+                parts.append((view, {k: v[idx] for k, v in cols.items()}))
+    if not parts:
+        return None
+    if len(parts) == 1:
+        view, sub = parts[0]
+    else:
+        # splice the views into one buffer, offsetting per-part offsets
+        offs = np.cumsum([0] + [v.size for v, _ in parts])
+        view = np.concatenate([v for v, _ in parts])
+        subs = []
+        for (v, c), off in zip(parts, offs[:-1]):
+            c = dict(c)
+            for key in ("qname_off", "cigar_off", "seq_off", "qual_off",
+                        "aux_off", "offsets"):
+                c[key] = c[key] + off
+            subs.append(c)
+        sub = {k: np.concatenate([c[k] for c in subs])
+               for k in subs[0]}
+    seq_blob, seq_starts = native.bam_unpack_seqs(
+        view, sub["seq_off"], sub["lseq"])
+    return BamBatch(view, sub, seq_blob, seq_starts)
+
+
 class FastBamReader:
     """Streaming batch reader (requires the native library)."""
 

@@ -73,6 +73,9 @@ def get_lib():
             lib.bam_unpack_seqs.restype = None
             lib.bam_unpack_seqs.argtypes = [u8p, ctypes.c_int64, i64p,
                                             i32p, u8p, i64p]
+            lib.bam_ref_spans.restype = None
+            lib.bam_ref_spans.argtypes = [u8p, ctypes.c_int64, i64p,
+                                          i32p, i32p]
             _lib = lib
     return _lib
 
@@ -142,6 +145,19 @@ def bam_scan_records(buf: np.ndarray, cap: int):
         _ptr(cols["aux_len"], ctypes.c_int32),
         _ptr(consumed, ctypes.c_int64))
     return int(n), {k: v[:n] for k, v in cols.items()}, int(consumed[0])
+
+
+def bam_ref_spans(buf: np.ndarray, cigar_off: np.ndarray,
+                  n_cigar: np.ndarray) -> np.ndarray:
+    """Exact reference span per record from CIGAR (native loop)."""
+    lib = get_lib()
+    out = np.empty(cigar_off.size, np.int32)
+    lib.bam_ref_spans(
+        _ptr(buf, ctypes.c_uint8), cigar_off.size,
+        _ptr(np.ascontiguousarray(cigar_off), ctypes.c_int64),
+        _ptr(np.ascontiguousarray(n_cigar), ctypes.c_int32),
+        _ptr(out, ctypes.c_int32))
+    return out
 
 
 def bam_unpack_seqs(buf: np.ndarray, seq_off: np.ndarray,

@@ -216,6 +216,59 @@ def collect_seeds(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
                 intv_sz=st["intv_sz"], n_seeds=st["n"])
 
 
+@functools.partial(jax.jit, static_argnames=("min_seed_len",))
+def reseed_scan(fm: DeviceFMIndex, reads: jax.Array, qb: jax.Array,
+                qe: jax.Array, occ: jax.Array, active: jax.Array,
+                min_seed_len: int = 19):
+    """bwa-style re-seeding of one long seed per read.
+
+    For a long near-unique seed [qb, qe) with occ occurrences, bwa
+    re-seeds from the middle requiring > occ occurrences
+    (split_factor/split_width, mem_collect_intv): the shorter, more
+    repetitive core reveals secondary loci.  Here: backward-extend
+    from the seed midpoint, keeping the deepest interval whose size
+    stays > occ.
+
+    Returns (qbeg2, qend2, intv_l2, intv_sz2) [B]; intv_sz2 == 0 where
+    inactive or nothing qualifying was found.
+    """
+    B, L = reads.shape
+    n1 = jnp.int32(fm.seq_len + 1)
+    mid = (qb + qe) // 2                       # exclusive end of re-seed
+    e = jnp.where(active, mid - 1, -1)
+
+    def body(i, st):
+        l, u, p, done, bl, bu, bp = st
+        c = jnp.where((p >= 0) & ~done,
+                      reads[jnp.arange(B), jnp.maximum(p, 0)],
+                      4).astype(jnp.int32)
+        valid_c = c < 4
+        nl, nu = backward_ext(fm, l, u, jnp.minimum(c, 3))
+        nl = jnp.where(valid_c, nl, 0)
+        nu = jnp.where(valid_c, nu, 0)
+        sz = nu - nl
+        # stop when size would drop to <= occ (keep previous state)
+        stop = done | (sz <= occ) | (p < 0)
+        keep = ~stop
+        best_now = keep & (sz > occ)
+        return (jnp.where(keep, nl, l), jnp.where(keep, nu, u),
+                jnp.where(keep, p - 1, p), stop,
+                jnp.where(best_now, nl, bl), jnp.where(best_now, nu, bu),
+                jnp.where(best_now, p, bp))
+
+    init = (jnp.zeros(B, jnp.int32), jnp.full(B, n1, jnp.int32),
+            e, ~active,
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+            jnp.full(B, -1, jnp.int32))
+    l, u, p, done, bl, bu, bp = jax.lax.fori_loop(0, L, body, init)
+    qbeg2 = bp
+    qend2 = mid
+    sz2 = bu - bl
+    ok = active & (bp >= 0) & (qend2 - qbeg2 >= min_seed_len) & (sz2 > 0)
+    return (jnp.where(ok, qbeg2, 0), jnp.where(ok, qend2, 0),
+            jnp.where(ok, bl, 0), jnp.where(ok, sz2, 0))
+
+
 # ---------------------------------------------------------------------------
 # SA lookup (sampled SA + LF walk)
 # ---------------------------------------------------------------------------

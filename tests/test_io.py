@@ -462,3 +462,30 @@ def test_fast_bam_batch_columnar(tmp_path):
     blob, starts = b.sequences_nt4()
     s0 = blob[starts[0]:starts[1]].tobytes().decode()
     assert s0 == recs[0].seq
+
+
+def test_fetch_region_native_parity(tmp_path):
+    from seqlib_tpu.io.fast_bam import fetch_region
+    from seqlib_tpu import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    hdr, recs = _make_records(1500, seed=77)
+    path = str(tmp_path / "reg.bam")
+    w = BamWriter()
+    w.open(path)
+    w.set_header(hdr)
+    w.enable_indexing()
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    slow = BamReader(path)
+    rng = random.Random(5)
+    for _ in range(12):
+        p = rng.randint(1, 90000)
+        slow.reset()
+        slow.set_region(GenomicRegion(0, p, p + 5000))
+        expect = [(r.qname, r.pos) for r in iter(slow.next, None)]
+        b = fetch_region(path, 0, p - 1, p + 5000)
+        got = [] if b is None else [(b.record(i).qname, int(b.pos[i]))
+                                    for i in range(len(b))]
+        assert got == expect, p
