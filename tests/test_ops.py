@@ -232,3 +232,38 @@ def test_pallas_extend_matches_xla(sw_pairs):
                               jnp.asarray(h0), interpret=True)
     for k in ref:
         assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), k
+
+
+def test_reseed_scan_finds_repeat_core(tiny):
+    """bwa-style re-seeding: a long unique seed hiding a repetitive
+    core yields an extra seed with >1 occurrences at alternate loci."""
+    import numpy as np
+    from seqlib_tpu.align.device_pipeline import seed_and_locate
+    from seqlib_tpu.index import FMIndex
+    from seqlib_tpu.ops.fm import DeviceFMIndex
+    rng = np.random.default_rng(4)
+
+    def rand(n):
+        return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+    X = rand(90)
+    U = [rand(300) for _ in range(4)]
+    ref = U[0] + X + U[1] + X + U[2] + X + U[3]
+    idx = FMIndex.construct([("r", ref)])
+    fm = DeviceFMIndex.from_host(idx)
+    read = ref[280:280 + 130]      # 20bp flank + 90bp repeat + 20bp flank
+    enc = np.full((8, 160), 4, np.uint8)
+    enc[0, :130] = encode_nt4(read)
+    lens = np.zeros(8, np.int32)
+    lens[0] = 130
+    out = seed_and_locate(fm, jnp.asarray(enc), jnp.asarray(lens))
+    out = {k: np.asarray(v) for k, v in out.items()}
+    # extra (re-seed) column: a shorter seed with alternate positions
+    qb2, qe2 = out["qbeg"][0, -1], out["qend"][0, -1]
+    assert qe2 - qb2 >= 19
+    pos2 = out["pos"][0, -1]
+    pos2 = pos2[pos2 >= 0]
+    assert pos2.size >= 2          # primary + at least one alt locus
+    # one occurrence at the primary locus, one elsewhere
+    assert (np.abs(pos2 - (280 + qb2)) <= 1).any()
+    assert (np.abs(pos2 - (280 + qb2)) > 100).any()
