@@ -237,8 +237,12 @@ def reseed_scan(fm: DeviceFMIndex, reads: jax.Array, qb: jax.Array,
     mid = (qb + qe) // 2                       # exclusive end of re-seed
     e = jnp.where(active, mid - 1, -1)
 
-    def body(i, st):
-        l, u, p, done, bl, bu, bp = st
+    def cond(st):
+        l, u, p, done, bl, bu, bp, it = st
+        return (~jnp.all(done)) & (it < L)
+
+    def body(st):
+        l, u, p, done, bl, bu, bp, it = st
         c = jnp.where((p >= 0) & ~done,
                       reads[jnp.arange(B), jnp.maximum(p, 0)],
                       4).astype(jnp.int32)
@@ -254,13 +258,13 @@ def reseed_scan(fm: DeviceFMIndex, reads: jax.Array, qb: jax.Array,
         return (jnp.where(keep, nl, l), jnp.where(keep, nu, u),
                 jnp.where(keep, p - 1, p), stop,
                 jnp.where(best_now, nl, bl), jnp.where(best_now, nu, bu),
-                jnp.where(best_now, p, bp))
+                jnp.where(best_now, p, bp), it + 1)
 
     init = (jnp.zeros(B, jnp.int32), jnp.full(B, n1, jnp.int32),
             e, ~active,
             jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-            jnp.full(B, -1, jnp.int32))
-    l, u, p, done, bl, bu, bp = jax.lax.fori_loop(0, L, body, init)
+            jnp.full(B, -1, jnp.int32), jnp.int32(0))
+    l, u, p, done, bl, bu, bp, _ = jax.lax.while_loop(cond, body, init)
     qbeg2 = bp
     qend2 = mid
     sz2 = bu - bl
