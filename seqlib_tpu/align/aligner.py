@@ -29,13 +29,13 @@ import numpy as np
 import jax
 
 from ..core.cigar import Cigar, CigarField
-from ..core.record import BamRecord, FREVERSE, FSECONDARY, FUNMAP
+from ..core.record import BamRecord, FREVERSE, FSECONDARY
 from ..core.seq import encode_nt4, revcomp
 from ..core.unaligned import UnalignedSequence
 from ..index.fmindex import FMIndex
 from ..index.pack import both_strands
 from ..ops.fm import DeviceFMIndex
-from .chain import chain_batch, chain_seeds, filter_chains
+from .chain import chain_batch
 from .device_pipeline import (extend_chains, global_and_traceback,
                               seed_and_locate)
 from .options import AlignerOptions
@@ -64,21 +64,6 @@ class AlnReg:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-_OP_CHARS = np.frombuffer(b"MDI", dtype=np.uint8)
-
-
-def _ops_to_cigar(ops_row: np.ndarray) -> list[tuple[str, int]]:
-    """Device traceback step codes (reverse walk order, OP_NONE padded)
-    -> [(op, len)] run-length CIGAR in forward order."""
-    real = ops_row[ops_row < 3][::-1]
-    if real.size == 0:
-        return []
-    breaks = np.flatnonzero(np.diff(real)) + 1
-    starts = np.concatenate([[0], breaks])
-    ends = np.concatenate([breaks, [real.size]])
-    return [("MDI"[real[s]], int(e - s)) for s, e in zip(starts, ends)]
 
 
 def _unpack_ops(packed: np.ndarray) -> np.ndarray:
