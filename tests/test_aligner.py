@@ -280,3 +280,21 @@ def test_real_genome_accuracy_no_confident_errors(aligner, tiny_seqs):
             confident_wrong += 1
     assert ok >= 0.995 * len(reads), f"{ok}/{len(reads)}"
     assert confident_wrong == 0
+
+
+def test_mixed_length_reads(aligner, tiny_seqs):
+    """Batches with heterogeneous read lengths must pad/mask correctly."""
+    cat = dict(tiny_seqs)
+    reads = [cat["bcr"][1000:1100],          # 100 bp
+             cat["abl"][2000:2150],          # 150 bp
+             revcomp(cat["tp53"][3000:3070]),  # 70 bp reverse
+             cat["myc"][500:575]]            # 75 bp
+    names = ["a", "b", "c", "d"]
+    out = aligner.align_batch(reads, names)
+    expect = [(0, 1000, "100M"), (1, 2000, "150M"),
+              (2, 3000, "70M"), (3, 500, "75M")]
+    for recs, (tid, pos, cig) in zip(out, expect):
+        prim = [r for r in recs if not r.secondary_flag()]
+        assert prim, (tid, pos)
+        r = prim[0]
+        assert (r.tid, r.pos, str(r.cigar)) == (tid, pos, cig)
