@@ -186,7 +186,13 @@ def collect_seeds(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
         st["n"] = st["n"] + ok.astype(jnp.int32)
         return st
 
-    def body(_, st):
+    init = dict(init)
+    init["it"] = jnp.int32(0)
+
+    def cond(st):
+        return jnp.any(st["e"] >= 0) & (st["it"] < L + max_seeds + 2)
+
+    def body(st):
         active = st["e"] >= 0
         c = jnp.where(active & (st["p"] >= 0),
                       reads[jnp.arange(B), jnp.maximum(st["p"], 0)],
@@ -209,9 +215,10 @@ def collect_seeds(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
         out["u"] = jnp.where(adv, nu, n1)
         out["p"] = jnp.where(adv, st["p"] - 1, new_e)
         out["e"] = jnp.where(restart, new_e, st2["e"])
+        out["it"] = st["it"] + 1
         return out
 
-    st = jax.lax.fori_loop(0, L + max_seeds + 2, body, init)
+    st = jax.lax.while_loop(cond, body, init)
     return dict(qbeg=st["qbeg"], qend=st["qend"], intv_l=st["intv_l"],
                 intv_sz=st["intv_sz"], n_seeds=st["n"])
 
