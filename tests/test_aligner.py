@@ -298,3 +298,26 @@ def test_mixed_length_reads(aligner, tiny_seqs):
         assert prim, (tid, pos)
         r = prim[0]
         assert (r.tid, r.pos, str(r.cigar)) == (tid, pos, cig)
+
+
+def test_large_indels(aligner, tiny_seqs):
+    """40 bp deletion aligns through (gap cheaper than clip); 120 bp
+    deletion splits into two clipped alignments (gap cost 6+120 beats
+    clipping — same decision bwa's scoring makes); 20 bp insertion
+    aligns through."""
+    cat = dict(tiny_seqs)
+    readD = cat["bcr"][50000:50070] + cat["bcr"][50110:50190]
+    r = aligner.align_sequence(readD, "del40")[0]
+    assert r.pos == 50000 and "40D" in str(r.cigar)
+
+    readD2 = cat["bcr"][60000:60075] + cat["bcr"][60195:60270]
+    recs = aligner.align_sequence(readD2, "del120")
+    assert len(recs) >= 2
+    cigs = sorted(str(x.cigar) for x in recs)
+    assert any("S" in c for c in cigs)
+    assert not any("D" in c for c in cigs)
+
+    ins = "ACGTGACCTGAGTTACGGAT"
+    readI = cat["abl"][70000:70070] + ins + cat["abl"][70070:70150]
+    r3 = aligner.align_sequence(readI, "ins20")[0]
+    assert r3.pos == 70000 and "20I" in str(r3.cigar)
