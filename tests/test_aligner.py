@@ -321,3 +321,23 @@ def test_large_indels(aligner, tiny_seqs):
     readI = cat["abl"][70000:70070] + ins + cat["abl"][70070:70150]
     r3 = aligner.align_sequence(readI, "ins20")[0]
     assert r3.pos == 70000 and "20I" in str(r3.cigar)
+
+
+def test_long_reads_250bp(aligner, tiny_seqs):
+    """Shape-adaptive paths handle 250 bp reads (window/bucket scaling)."""
+    hdr = aligner.index.header_from_index()
+    r1, r2 = simulate_pairs(tiny_seqs, 40, read_len=250, dist=600,
+                            error_rate=0.005, seed=9)
+    reads = r1 + r2
+    out = aligner.align_batch([u.seq for u in reads],
+                              [u.name for u in reads])
+    ok = 0
+    for u, recs in zip(reads, out):
+        parts = u.name.rsplit("_", 5)
+        contig, beg, end = parts[0], int(parts[1]), int(parts[2])
+        prim = [r for r in recs if not r.secondary_flag()]
+        if prim and hdr.id2name(prim[0].tid) == contig and \
+           (abs(prim[0].pos - (beg - 1)) <= 30
+                or abs(prim[0].pos - (end - 250)) <= 30):
+            ok += 1
+    assert ok >= 0.98 * len(reads)
