@@ -190,7 +190,9 @@ class BFC:
         k = self.kmer
         self.kcov = self._estimate_kcov()
         self.min_cov = int(BFC_EC_MIN_COV_COEF * self.kcov + 0.499)
-        self.min_cov = max(2, min(self.min_cov, 10))
+        # bfc's floor is 3 (doubly-supported errors are common
+        # at 30x with 0.5% error rate)
+        self.min_cov = max(3, min(self.min_cov, 10))
         # two passes: a fix at one end can unlock the greedy scan's
         # repair of the other end on the next sweep
         for _ in range(2):

@@ -196,11 +196,12 @@ class FermiAssembler:
             table = KmerTable(np.concatenate(chunks)) if chunks else None
             if table is not None and table.keys.size:
                 kept = []
+                thr = max(2, min(3, self.opt.min_cnt - 1))
                 for s in seqs:
                     if len(s) < k:
                         continue
                     cnt = table.lookup(canonical_kmers(encode_nt4(s), k))
-                    if (cnt >= 2).all():
+                    if (cnt >= thr).all():
                         kept.append(s)
                 if len(kept) >= 0.5 * len(seqs):
                     seqs = kept
