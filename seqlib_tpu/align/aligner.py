@@ -446,13 +446,16 @@ class BWAAligner:
 
     def align_stream(self, read_iter, batch_size: int = 4096,
                      hardclip: bool = False, keep_sec_frac: float = 0.9,
-                     max_secondary: int = 10):
+                     max_secondary: int = 10, workers: int = 2):
         """Pipelined streaming alignment: yields (read, records) pairs.
 
-        The next batch's seed stage is dispatched before the current
-        batch's tail stages run, overlapping device compute with host
-        processing (JAX async dispatch).  ``read_iter`` yields
-        UnalignedSequence-like objects (``.name``/``.seq``)."""
+        Each batch's seed stage is dispatched ahead, and batch
+        finishing (extension/global dispatches + host processing) runs
+        on a small thread pool: one batch's host work overlaps another
+        batch's device fetch-waits (the GIL is released while blocking
+        on the link).  Results are yielded in order."""
+        import concurrent.futures as _fut
+
         def batches():
             buf = []
             for r in read_iter:
@@ -463,19 +466,22 @@ class BWAAligner:
             if buf:
                 yield buf
 
-        pending = None   # (reads, enc, lens, stage1)
-        for chunk in batches():
-            enc, lens = self._encode_batch([r.seq for r in chunk])
-            s1 = self._dispatch_stage1(
-                jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
-            if pending is not None:
-                yield from self._finish_batch(*pending, hardclip,
-                                              keep_sec_frac,
-                                              max_secondary)
-            pending = (chunk, enc, lens, s1)
-        if pending is not None:
-            yield from self._finish_batch(*pending, hardclip,
-                                          keep_sec_frac, max_secondary)
+        def finish(args):
+            return list(self._finish_batch(
+                *args, hardclip, keep_sec_frac, max_secondary))
+
+        with _fut.ThreadPoolExecutor(max(workers, 1)) as pool:
+            inflight: list = []
+            for chunk in batches():
+                enc, lens = self._encode_batch([r.seq for r in chunk])
+                s1 = self._dispatch_stage1(
+                    jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
+                inflight.append(pool.submit(finish,
+                                            (chunk, enc, lens, s1)))
+                while len(inflight) >= max(workers, 1) + 1:
+                    yield from inflight.pop(0).result()
+            for fut in inflight:
+                yield from fut.result()
 
     def _finish_batch(self, chunk, enc, lens, s1, hardclip,
                       keep_sec_frac, max_secondary):
