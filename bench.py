@@ -65,7 +65,7 @@ def main():
     n_bench = min(8192, len(reads))  # full reference fastq
     t0 = time.time()
     out = [recs for _, recs in
-           aln.align_stream(iter(reads[:n_bench]), batch_size=B, workers=3)]
+           aln.align_stream(iter(reads[:n_bench]), batch_size=B)]
     dt = time.time() - t0
     reads_per_s = n_bench / dt
     mapped = sum(1 for rs in out if rs)
