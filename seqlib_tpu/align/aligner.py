@@ -107,12 +107,15 @@ def _ops_to_cigars_batch(ops: np.ndarray, n_rows: int
 
 
 def _bucket(n: int, mn: int = 64) -> int:
-    """Round a batch dimension up to a power-of-two bucket so jitted
-    kernels compile once per bucket instead of once per batch."""
+    """Round a batch dimension up to a bucket (powers of two up to 512,
+    then multiples of 512) so jitted kernels compile once per bucket
+    instead of once per batch, without 2x padding waste at scale."""
     b = mn
-    while b < n:
+    while b < n and b < 512:
         b *= 2
-    return b
+    if n <= b:
+        return b
+    return (n + 511) // 512 * 512
 
 
 class BWAAligner:
@@ -254,16 +257,38 @@ class BWAAligner:
 
         n_entries = ch["read"].size
         regions: list[list[AlnReg]] = [[] for _ in range(B)]
+        n_dev = 0
         if n_entries:
-            M = _bucket(n_entries)
+            # fast path: anchors that already cover the whole read need
+            # no DP — extend_chains would return exactly (qb=0, rb=ar,
+            # qe=alen, re=ar+alen, score=alen*a) via its no_left/
+            # no_right branches.  At wgsim-like error rates this is the
+            # majority of chains, so it halves+ the extension batch.
+            e_read = ch["read"]
+            e_aq = ch["anchor_q"]
+            e_alen = ch["anchor_len"]
+            e_ar = ch["anchor_r"]
+            rl_e = lens[e_read].astype(np.int64)
+            trivial = (e_aq == 0) & (e_aq + e_alen == rl_e)
+            for m in np.flatnonzero(trivial):
+                b = int(e_read[m])
+                a_len = int(e_alen[m])
+                a_r = int(e_ar[m])
+                regions[b].append(AlnReg(
+                    a_r, a_r + a_len, 0, a_len, a_len * opt.a,
+                    int(ch["weight"][m]), float(frac_reps[b])))
+            nt = np.flatnonzero(~trivial)
+            n_dev = nt.size
+        if n_dev:
+            M = _bucket(n_dev)
             b_idx = np.full(M, -1, np.int32)
             aq = np.zeros(M, np.int32)
             alen = np.zeros(M, np.int32)
             ar = np.zeros(M, np.int32)
-            b_idx[:n_entries] = ch["read"]
-            aq[:n_entries] = ch["anchor_q"]
-            alen[:n_entries] = ch["anchor_len"]
-            ar[:n_entries] = ch["anchor_r"]
+            b_idx[:n_dev] = e_read[nt]
+            aq[:n_dev] = e_aq[nt]
+            alen[:n_dev] = e_alen[nt]
+            ar[:n_dev] = e_ar[nt]
             if self.mesh is not None:
                 res = self._sh_extend(
                     enc_j, lens_j, jnp.asarray(b_idx), jnp.asarray(aq),
@@ -278,11 +303,12 @@ class BWAAligner:
                     pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
                     w=opt.w)
             qb, qe, rb, re, score = jax.device_get(res)
-            for m in range(n_entries):
-                b = int(ch["read"][m])
+            wts = ch["weight"][nt]
+            for m in range(n_dev):
+                b = int(b_idx[m])
                 regions[b].append(AlnReg(
                     int(rb[m]), int(re[m]), int(qb[m]), int(qe[m]),
-                    int(score[m]), int(ch["weight"][m]),
+                    int(score[m]), int(wts[m]),
                     float(frac_reps[b])))
         for b in range(B):
             regions[b] = self._dedup_and_mark(regions[b])
@@ -376,34 +402,58 @@ class BWAAligner:
                 if r.qe - r.qb <= Lq and r.re - r.rb <= Lt]
         if not flat:
             return hits_per_read
-        M = _bucket(len(flat))
-        q = np.full((M, Lq), 4, np.uint8)
-        t = np.full((M, Lt), 4, np.uint8)
-        ql = np.zeros(M, np.int32)
-        tl = np.zeros(M, np.int32)
+        # fast path: a region whose extension score equals span*a with
+        # equal query/target spans can only be an exact match (any
+        # mismatch or gap strictly lowers the DP optimum), so its CIGAR
+        # is one M run with NM=0 — verified by a host memcmp.  No
+        # global DP needed for those (the majority at low error rates).
+        perfect = np.zeros(len(flat), dtype=bool)
         for m, (b, r) in enumerate(flat):
-            ql[m] = r.qe - r.qb
-            tl[m] = r.re - r.rb
-            q[m, :ql[m]] = enc[b, r.qb:r.qe]
-            t[m, :tl[m]] = self.text[r.rb:r.re]
-        if self.mesh is not None:
-            res = self._sh_global(jnp.asarray(q), jnp.asarray(ql),
-                                  jnp.asarray(t), jnp.asarray(tl))
-        else:
-            res = global_and_traceback(
-                jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
-                jnp.asarray(tl),
-                o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-                e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
-                band=2 * opt.w + 8)
-        score, packed, nms = jax.device_get(res)
-        cigars = _ops_to_cigars_batch(_unpack_ops(np.asarray(packed)),
-                                      len(flat))
+            span = r.qe - r.qb
+            if (r.score == span * opt.a and r.re - r.rb == span
+                    and np.array_equal(enc[b, r.qb:r.qe],
+                                       self.text[r.rb:r.re])):
+                perfect[m] = True
+        dev_rows = np.flatnonzero(~perfect)
+        cigars: dict[int, list[tuple[str, int]]] = {}
+        nms_by_row: dict[int, int] = {}
+        for m in np.flatnonzero(perfect):
+            b, r = flat[m]
+            cigars[m] = [("M", r.qe - r.qb)]
+            nms_by_row[m] = 0
+        if dev_rows.size:
+            M = _bucket(dev_rows.size)
+            q = np.full((M, Lq), 4, np.uint8)
+            t = np.full((M, Lt), 4, np.uint8)
+            ql = np.zeros(M, np.int32)
+            tl = np.zeros(M, np.int32)
+            for k, m in enumerate(dev_rows):
+                b, r = flat[m]
+                ql[k] = r.qe - r.qb
+                tl[k] = r.re - r.rb
+                q[k, :ql[k]] = enc[b, r.qb:r.qe]
+                t[k, :tl[k]] = self.text[r.rb:r.re]
+            if self.mesh is not None:
+                res = self._sh_global(jnp.asarray(q), jnp.asarray(ql),
+                                      jnp.asarray(t), jnp.asarray(tl))
+            else:
+                res = global_and_traceback(
+                    jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
+                    jnp.asarray(tl),
+                    o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+                    e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
+                    band=2 * opt.w + 8)
+            score, packed, nms = jax.device_get(res)
+            dev_cigs = _ops_to_cigars_batch(
+                _unpack_ops(np.asarray(packed)), dev_rows.size)
+            for k, m in enumerate(dev_rows):
+                cigars[m] = dev_cigs[k]
+                nms_by_row[m] = int(nms[k])
 
         l_pac = self.index.l_pac
         for m, (b, r) in enumerate(flat):
             cig2l = cigars[m]
-            nm = int(nms[m])
+            nm = nms_by_row[m]
             is_rev = r.rb >= l_pac
             L = int(lens[b])
             if is_rev:

@@ -189,13 +189,13 @@ def global_and_traceback(q, ql, t, tl,
     dirs_flat = dirs.reshape(M, Lq * (Lt + 1))
     qi32 = q.astype(jnp.int32)
     ti32 = t.astype(jnp.int32)
-    T = 2 * (Lq + Lt) + 4
+    T = (2 * (Lq + Lt) + 7) // 4 * 4
 
     def cond(st):
         i, j, state, ops, nm, s = st
         return (s < T) & jnp.any((i > 0) | (j > 0))
 
-    def body(st):
+    def step(st):
         i, j, state, ops, nm, s = st
         done = (i == 0) & (j == 0)
         code = jnp.take_along_axis(
@@ -237,6 +237,12 @@ def global_and_traceback(q, ql, t, tl,
                     jnp.where(h_is_m, 0, state)))))))
         ops = ops.at[:, s].set(op.astype(jnp.int8))
         return (i - di, j - dj, new_state, ops, nm + add_nm, s + 1)
+
+    def body(st):
+        # 4 walk steps per while iteration: amortizes the sequential
+        # loop's per-iteration dispatch cost (each step is a tiny
+        # gather; the walk is ~max(ql+tl) iterations otherwise)
+        return step(step(step(step(st))))
 
     init = (ql.astype(jnp.int32), tl.astype(jnp.int32),
             jnp.zeros(M, jnp.int32),
