@@ -56,7 +56,7 @@ def main():
     names = [r.name for r in reads]
     rseqs = [r.seq for r in reads]
 
-    B = 4096
+    B = 2048  # smaller batches -> deeper pipeline over the device link
     # warmup/compile
     t0 = time.time()
     aln.align_batch(rseqs[:B], names[:B])

@@ -35,9 +35,7 @@ from ..core.unaligned import UnalignedSequence
 from ..index.fmindex import FMIndex
 from ..index.pack import both_strands
 from ..ops.fm import DeviceFMIndex
-from .chain import chain_batch
-from .device_pipeline import (extend_chains, global_and_traceback,
-                              seed_and_locate)
+from .device_pipeline import global_and_traceback, seed_chain_extend
 from .options import AlignerOptions
 
 MAX_SEEDS = 16          # per read from the seed scan
@@ -156,28 +154,23 @@ class BWAAligner:
         dp1 = P("dp")
         dp2 = P("dp", None)
 
-        seed_fn = functools.partial(
-            seed_and_locate, fm, max_seeds=MAX_SEEDS,
-            min_seed_len=opt.min_seed_len, max_occ=opt.max_occ,
-            k_occ=MAX_OCC_LOCATE)
-        seed_out = dict(qbeg=dp2, qend=dp2,
-                        pos=P("dp", None, None), rep_cov=dp1)
-        self._sh_seed = jax.jit(jax.shard_map(
-            seed_fn, mesh=mesh, in_specs=(dp2, dp1),
-            out_specs=seed_out, check_vma=False))
-
-        def ext_fn(reads, lens, b_idx, aq, alen, ar):
-            return extend_chains(
-                text, reads, lens, b_idx, aq, alen, ar,
-                l_pac=self.index.l_pac,
+        def fused_fn(reads, lens):
+            return seed_chain_extend(
+                fm, text, reads, lens, l_pac=self.index.l_pac,
+                max_seeds=MAX_SEEDS, min_seed_len=opt.min_seed_len,
+                max_occ=opt.max_occ, k_occ=MAX_OCC_LOCATE,
+                band=opt.w, max_chain_gap=opt.max_chain_gap,
+                drop_ratio=opt.drop_ratio, max_chains=MAX_CHAINS,
                 o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
                 e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
                 pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
                 w=opt.w)
-        self._sh_extend = jax.jit(jax.shard_map(
-            ext_fn, mesh=mesh,
-            in_specs=(P(), P(), dp1, dp1, dp1, dp1),
-            out_specs=(dp1,) * 5, check_vma=False))
+        fused_out = dict(qb=dp2, qe=dp2, rb=dp2, re=dp2, score=dp2,
+                         weight=dp2, keep=dp2, rep_cov=dp1, n_dp=dp1,
+                         anchor_q=dp2, anchor_len=dp2, anchor_r=dp2)
+        self._sh_fused = jax.jit(jax.shard_map(
+            fused_fn, mesh=mesh, in_specs=(dp2, dp1),
+            out_specs=fused_out, check_vma=False))
 
         def glob_fn(q, ql, t, tl):
             return global_and_traceback(
@@ -213,106 +206,96 @@ class BWAAligner:
     # ------------------------------------------------------------------
 
     def _dispatch_stage1(self, enc_j, lens_j):
-        """Asynchronously dispatch the seed+locate stage (returns
-        un-fetched device arrays — JAX dispatch is async)."""
+        """Asynchronously dispatch the fused seed+chain+extend stage
+        (returns un-fetched device arrays — JAX dispatch is async).
+        One dispatch replaces the reference's whole mem_align1 region
+        generation (BWAAligner.cpp:104-109)."""
         opt = self.options
         if self.mesh is not None:
-            return self._sh_seed(enc_j, lens_j)
-        return seed_and_locate(self.fm, enc_j, lens_j,
-                               max_seeds=MAX_SEEDS,
-                               min_seed_len=opt.min_seed_len,
-                               max_occ=opt.max_occ,
-                               k_occ=MAX_OCC_LOCATE)
+            return self._sh_fused(enc_j, lens_j)
+        return seed_chain_extend(
+            self.fm, self.text_j, enc_j, lens_j,
+            l_pac=self.index.l_pac,
+            max_seeds=MAX_SEEDS, min_seed_len=opt.min_seed_len,
+            max_occ=opt.max_occ, k_occ=MAX_OCC_LOCATE,
+            band=opt.w, max_chain_gap=opt.max_chain_gap,
+            drop_ratio=opt.drop_ratio, max_chains=MAX_CHAINS,
+            o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+            e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
+            pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
+            w=opt.w)
 
     def _collect_regions(self, enc: np.ndarray, lens: np.ndarray,
                          stage1=None) -> list[list[AlnReg]]:
         """enc [B, L] nt4 codes (4-padded); returns per-read region
-        lists (deduped, primary/secondary marked).  Two fused device
-        dispatches: seed_and_locate + extend_chains.  ``stage1`` may be
-        a pre-dispatched seed result (pipelined streaming)."""
-        opt = self.options
+        lists (deduped, primary/secondary marked).  ONE fused device
+        dispatch (seed scan + SA locate + chaining + extension);
+        ``stage1`` may be a pre-dispatched fused result (pipelined
+        streaming)."""
         B, L = enc.shape
-        l_pac = self.index.l_pac
-
-        enc_j = jnp.asarray(enc)
-        lens_j = jnp.asarray(lens.astype(np.int32))
         if stage1 is None:
-            stage1 = self._dispatch_stage1(enc_j, lens_j)
+            stage1 = self._dispatch_stage1(
+                jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
         out = jax.device_get(stage1)
-        pos = out["pos"]
         frac_reps = out["rep_cov"] / np.maximum(lens, 1)
+        keep = out["keep"]
+        qb, qe = out["qb"], out["qe"]
+        rb, re = out["rb"], out["re"]
+        score, weight = out["score"], out["weight"]
+        # rare: more non-trivial chains than device DP slots — the
+        # compacted extension dropped some; redo extension uncompacted
+        limit = B // max(self.n_shards, 1)
+        if (np.atleast_1d(out["n_dp"]) > limit).any():
+            qb, qe, rb, re, score = self._extend_uncompacted(
+                enc, lens, out)
 
-        # vectorized chaining over the whole batch
-        qb3 = np.broadcast_to(out["qbeg"][:, :, None], pos.shape)
-        qe3 = np.broadcast_to(out["qend"][:, :, None], pos.shape)
-        seed_len3 = qe3 - qb3
-        valid = (pos >= 0) & ~((pos < l_pac) & (pos + seed_len3 > l_pac))
-        ridx, sidx, kidx = np.nonzero(valid)
-        ch = chain_batch(
-            ridx.astype(np.int64), qb3[ridx, sidx, kidx].astype(np.int64),
-            qe3[ridx, sidx, kidx].astype(np.int64),
-            pos[ridx, sidx, kidx].astype(np.int64),
-            l_pac, band=opt.w, max_chain_gap=opt.max_chain_gap,
-            drop_ratio=opt.drop_ratio, max_chains=MAX_CHAINS)
-
-        n_entries = ch["read"].size
         regions: list[list[AlnReg]] = [[] for _ in range(B)]
-        n_dev = 0
-        if n_entries:
-            # fast path: anchors that already cover the whole read need
-            # no DP — extend_chains would return exactly (qb=0, rb=ar,
-            # qe=alen, re=ar+alen, score=alen*a) via its no_left/
-            # no_right branches.  At wgsim-like error rates this is the
-            # majority of chains, so it halves+ the extension batch.
-            e_read = ch["read"]
-            e_aq = ch["anchor_q"]
-            e_alen = ch["anchor_len"]
-            e_ar = ch["anchor_r"]
-            rl_e = lens[e_read].astype(np.int64)
-            trivial = (e_aq == 0) & (e_aq + e_alen == rl_e)
-            for m in np.flatnonzero(trivial):
-                b = int(e_read[m])
-                a_len = int(e_alen[m])
-                a_r = int(e_ar[m])
-                regions[b].append(AlnReg(
-                    a_r, a_r + a_len, 0, a_len, a_len * opt.a,
-                    int(ch["weight"][m]), float(frac_reps[b])))
-            nt = np.flatnonzero(~trivial)
-            n_dev = nt.size
-        if n_dev:
-            M = _bucket(n_dev)
-            b_idx = np.full(M, -1, np.int32)
-            aq = np.zeros(M, np.int32)
-            alen = np.zeros(M, np.int32)
-            ar = np.zeros(M, np.int32)
-            b_idx[:n_dev] = e_read[nt]
-            aq[:n_dev] = e_aq[nt]
-            alen[:n_dev] = e_alen[nt]
-            ar[:n_dev] = e_ar[nt]
-            if self.mesh is not None:
-                res = self._sh_extend(
-                    enc_j, lens_j, jnp.asarray(b_idx), jnp.asarray(aq),
-                    jnp.asarray(alen), jnp.asarray(ar))
-            else:
-                res = extend_chains(
-                    self.text_j, enc_j, lens_j,
-                    jnp.asarray(b_idx), jnp.asarray(aq),
-                    jnp.asarray(alen), jnp.asarray(ar), l_pac=l_pac,
-                    o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
-                    e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
-                    pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
-                    w=opt.w)
-            qb, qe, rb, re, score = jax.device_get(res)
-            wts = ch["weight"][nt]
-            for m in range(n_dev):
-                b = int(b_idx[m])
-                regions[b].append(AlnReg(
-                    int(rb[m]), int(re[m]), int(qb[m]), int(qe[m]),
-                    int(score[m]), int(wts[m]),
-                    float(frac_reps[b])))
+        for b, c in zip(*np.nonzero(keep)):
+            regions[b].append(AlnReg(
+                int(rb[b, c]), int(re[b, c]), int(qb[b, c]),
+                int(qe[b, c]), int(score[b, c]), int(weight[b, c]),
+                float(frac_reps[b])))
         for b in range(B):
             regions[b] = self._dedup_and_mark(regions[b])
         return regions
+
+    def _extend_uncompacted(self, enc, lens, out):
+        """Overflow fallback: extend every kept chain in a standalone
+        dispatch (no DP-slot cap).  Exact same arithmetic as the fused
+        path; only reached when > B non-trivial chains exist in one
+        shard's batch."""
+        from .device_pipeline import extend_chains
+        opt = self.options
+        keep = out["keep"]
+        bs, cs = np.nonzero(keep)
+        n = bs.size
+        qb = out["qb"].copy(); qe = out["qe"].copy()
+        rb = out["rb"].copy(); re = out["re"].copy()
+        score = out["score"].copy()
+        if not n:
+            return qb, qe, rb, re, score
+        M = _bucket(n)
+        b_idx = np.full(M, -1, np.int32)
+        aq = np.zeros(M, np.int32)
+        alen = np.zeros(M, np.int32)
+        ar = np.zeros(M, np.int32)
+        b_idx[:n] = bs
+        aq[:n] = out["anchor_q"][bs, cs]
+        alen[:n] = out["anchor_len"][bs, cs]
+        ar[:n] = out["anchor_r"][bs, cs]
+        res = extend_chains(
+            self.text_j, jnp.asarray(enc),
+            jnp.asarray(lens.astype(np.int32)),
+            jnp.asarray(b_idx), jnp.asarray(aq), jnp.asarray(alen),
+            jnp.asarray(ar), l_pac=self.index.l_pac,
+            o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
+            e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
+            pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3, w=opt.w)
+        eqb, eqe, erb, ere, esc = jax.device_get(res)
+        qb[bs, cs] = eqb[:n]; qe[bs, cs] = eqe[:n]
+        rb[bs, cs] = erb[:n]; re[bs, cs] = ere[:n]
+        score[bs, cs] = esc[:n]
+        return qb, qe, rb, re, score
 
     def _dedup_and_mark(self, regs: list[AlnReg]) -> list[AlnReg]:
         """mem_sort_dedup + mem_mark_primary_se semantics."""

@@ -1,16 +1,20 @@
 """Fused device stages of the alignment pipeline.
 
-Each batch makes exactly three device round-trips (the axon/PCIe/ICI
+Each batch makes exactly TWO device round-trips (the axon/PCIe/ICI
 link latency dominates per-call cost, so stages are fused jits):
 
-1. ``seed_and_locate`` — lockstep seed scan + sampled-SA lookup of up
-   to K occurrences per seed.
-2. ``extend_chains``  — left+right affine extension of every chain
-   anchor, including bwa's soft-clip decisions, window gathers from
-   the device-resident 2L text, and strand-boundary clamping.
-3. ``global_and_traceback`` — banded global DP for each final region
+1. ``seed_chain_extend`` — lockstep seed scan + sampled-SA lookup +
+   on-device chaining (lexsort + segmented reductions + top-k) +
+   left/right affine extension of every chain anchor, including bwa's
+   soft-clip decisions, window gathers from the device-resident 2L
+   text, and strand-boundary clamping.  Only [B, C] chain results
+   cross the link.
+2. ``global_and_traceback`` — banded global DP for each final region
    plus an on-device traceback walk that emits per-step op codes and
    NM counts (the [M, Lq, Lt] direction matrix never leaves HBM).
+
+``seed_and_locate`` / ``extend_chains`` / ``chain_device`` remain
+callable standalone (tests, parity checks vs the host chainer).
 """
 
 from __future__ import annotations
@@ -80,6 +84,228 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
     rep_cov = jnp.sum(jnp.where(repetitive, qe_s - qb_s, 0), axis=1)
     # only what the host chaining needs crosses the link
     return dict(qbeg=qb_all, qend=qe_all, pos=pos, rep_cov=rep_cov)
+
+
+def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
+                 max_chain_gap: int = 10000, drop_ratio: float = 0.5,
+                 max_chains: int = 4):
+    """Device-side seed chaining (mem_chain equivalent; mirrors
+    align.chain.chain_batch exactly — see its docstring for the
+    algorithm and /root/reference/src/BWAAligner.cpp:104-109 for the
+    reference call site).
+
+    qb_all/qe_all [B, S] seed query spans; pos [B, S, K] occurrence
+    text positions in 2L space (-1 invalid).  Groups occurrences into
+    colinear chains by (strand, diagonal-within-band, proximity) using
+    a 3-pass stable lexsort + segmented scatter reductions, scores by
+    bounded coverage, and keeps each read's top chains per bwa's
+    drop_ratio rule.
+
+    Returns per-chain [B, C] arrays: anchor_q, anchor_len, anchor_r,
+    weight, keep (bool).  Requires reads shorter than 1024 bp (packed
+    anchor sort keys) and S*K <= 512.
+    """
+    B, S, K = pos.shape
+    N = S * K
+    oqb = jnp.broadcast_to(qb_all[:, :, None], (B, S, K)).reshape(B, N)
+    oqe = jnp.broadcast_to(qe_all[:, :, None], (B, S, K)).reshape(B, N)
+    opos = pos.reshape(B, N).astype(jnp.int32)
+    olen = (oqe - oqb).astype(jnp.int32)
+    # valid: located, and not spanning the fwd/rev midpoint
+    ovalid = (opos >= 0) & ~((opos < l_pac) & (opos + olen > l_pac))
+    strand = jnp.where(ovalid, (opos >= l_pac).astype(jnp.int32), 3)
+    diag = jnp.where(ovalid, opos - oqb.astype(jnp.int32), 0)
+    spos = jnp.where(ovalid, opos, jnp.int32(2**30))
+
+    # stable lexsort by (strand, diag, pos): successive stable argsorts
+    # from least-significant key.  When (strand, diag) packs into one
+    # int32 (l_pac < 2^28), two sorts suffice.
+    o1 = jnp.argsort(spos, axis=1, stable=True)
+    if 2 * l_pac + 1024 < 2**29:
+        key2 = (strand << 29) | jnp.where(ovalid, diag + 1024, 0)
+        k2 = jnp.take_along_axis(key2, o1, axis=1)
+        o2 = jnp.argsort(k2, axis=1, stable=True)
+        order = jnp.take_along_axis(o1, o2, axis=1)
+        k2s = jnp.take_along_axis(k2, o2, axis=1)
+        s_strand = k2s >> 29
+        s_diag = (k2s & (2**29 - 1)) - 1024
+        s_valid = s_strand != 3
+    else:
+        k2 = jnp.take_along_axis(diag, o1, axis=1)
+        o2 = jnp.argsort(k2, axis=1, stable=True)
+        o12 = jnp.take_along_axis(o1, o2, axis=1)
+        k3 = jnp.take_along_axis(strand, o12, axis=1)
+        o3 = jnp.argsort(k3, axis=1, stable=True)
+        order = jnp.take_along_axis(o12, o3, axis=1)
+        s_strand = jnp.take_along_axis(strand, order, axis=1)
+        s_diag = jnp.take_along_axis(diag, order, axis=1)
+        s_valid = jnp.take_along_axis(ovalid, order, axis=1)
+
+    # (qb, len) packed: one gather instead of two
+    pl = (oqb.astype(jnp.int32) << 16) | olen
+    s_pl = jnp.take_along_axis(pl, order, axis=1)
+    s_qb = s_pl >> 16
+    s_len = s_pl & 0xffff
+    s_pos = jnp.take_along_axis(spos, order, axis=1)
+
+    brk = jnp.ones((B, N), dtype=bool)
+    brk = brk.at[:, 1:].set(
+        (s_strand[:, 1:] != s_strand[:, :-1])
+        | (s_diag[:, 1:] - s_diag[:, :-1] > band)
+        | (s_pos[:, 1:] - s_pos[:, :-1] > max_chain_gap))
+    # segments are contiguous in sort order, so all per-segment
+    # aggregates come from ONE segmented associative_scan (log-depth,
+    # no scatters — TPU scatter is serial-ish and was the hot spot)
+    BIG = jnp.int32(2**30)
+    n_idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                             (B, N))
+    vlen = jnp.where(s_valid, s_len, 0)
+    qbv = jnp.where(s_valid, s_qb, BIG)
+    qev = jnp.where(s_valid, s_qb + s_len, -1)
+    rbv = jnp.where(s_valid, s_pos, BIG)
+    rev = jnp.where(s_valid, s_pos + s_len, -1)
+    # anchor = longest seed (ties: smallest qb, then first in sort
+    # order) — packed so one max carries the whole tuple
+    aval = jnp.where(
+        s_valid, (s_len << 19) | ((1023 - s_qb) << 9) | (511 - n_idx),
+        -1)
+
+    # manual Hillis-Steele segmented scan: log2(N) unrolled steps of
+    # pure elementwise shift+select (associative_scan's Blelchoch
+    # lowering was ~100 ms here; this is HBM-bandwidth bound)
+    def shr(x, d, fill):
+        return jnp.concatenate(
+            [jnp.full((B, d), fill, x.dtype), x[:, :-d]], axis=1)
+
+    f = brk
+    len_sum, qb_min, qe_max = vlen, qbv, qev
+    rb_min, re_max, anchor = rbv, rev, aval
+    d = 1
+    while d < N:
+        nf = ~f
+        len_sum = jnp.where(nf, shr(len_sum, d, 0) + len_sum, len_sum)
+        qb_min = jnp.where(nf, jnp.minimum(shr(qb_min, d, BIG), qb_min),
+                           qb_min)
+        qe_max = jnp.where(nf, jnp.maximum(shr(qe_max, d, -1), qe_max),
+                           qe_max)
+        rb_min = jnp.where(nf, jnp.minimum(shr(rb_min, d, BIG), rb_min),
+                           rb_min)
+        re_max = jnp.where(nf, jnp.maximum(shr(re_max, d, -1), re_max),
+                           re_max)
+        anchor = jnp.where(nf, jnp.maximum(shr(anchor, d, -1), anchor),
+                           anchor)
+        f = f | shr(f, d, True)
+        d *= 2
+    is_last = jnp.concatenate(
+        [brk[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+    weight = jnp.minimum(len_sum,
+                         jnp.minimum(qe_max - qb_min, re_max - rb_min))
+    # a segment counts only at its last element, and only if it holds
+    # at least one valid occurrence (anchor >= 0)
+    weight = jnp.where(is_last & (anchor >= 0), weight, -1)
+
+    # per-read top-C by (weight desc, segment order asc); last-element
+    # index is monotone in segment index, so it is the tiebreaker
+    pk = jnp.where(weight >= 0, weight * 512 + (511 - n_idx), -1)
+    _, top = jax.lax.top_k(pk, max_chains)                       # [B, C]
+    w_c = jnp.take_along_axis(weight, top, axis=1)               # [B, C]
+    best_w = w_c[:, :1]
+    keep = (w_c > 0) & (w_c.astype(jnp.float32)
+                        >= drop_ratio * best_w.astype(jnp.float32))
+    packed = jnp.take_along_axis(anchor, top, axis=1)
+    a_len = packed >> 19
+    a_qb = 1023 - ((packed >> 9) & 1023)
+    a_n = 511 - (packed & 511)
+    a_pos = jnp.take_along_axis(s_pos, a_n, axis=1)
+    return dict(anchor_q=jnp.where(keep, a_qb, 0),
+                anchor_len=jnp.where(keep, a_len, 0),
+                anchor_r=jnp.where(keep, a_pos, 0),
+                weight=jnp.where(keep, w_c, 0), keep=keep)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "l_pac", "max_seeds", "min_seed_len", "max_occ", "k_occ",
+    "band", "max_chain_gap", "drop_ratio", "max_chains",
+    "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
+    "pen_clip5", "pen_clip3", "w"))
+def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
+                      l_pac: int,
+                      max_seeds: int = 16, min_seed_len: int = 19,
+                      max_occ: int = 500, k_occ: int = 16,
+                      band: int = 100, max_chain_gap: int = 10000,
+                      drop_ratio: float = 0.5, max_chains: int = 4,
+                      o_del: int = 6, e_del: int = 1, o_ins: int = 6,
+                      e_ins: int = 1, match: int = 1, mismatch: int = 4,
+                      pen_clip5: int = 5, pen_clip3: int = 5,
+                      w: int = 100):
+    """Fully fused stage 1+2: seed scan + SA locate + chaining +
+    left/right extension in ONE device dispatch.
+
+    Replaces the seed_and_locate → host chain_batch → extend_chains
+    sequence (two link round trips and a [B,S,K] position fetch) with
+    a single dispatch whose output is just [B, C] chain/region arrays.
+
+    Returns dict: qb, qe, rb, re, score, weight [B, C] int32;
+    keep [B, C] bool; rep_cov [B] int32.
+    """
+    B, L = reads.shape
+    s1 = seed_and_locate(fm, reads, lens, max_seeds=max_seeds,
+                         min_seed_len=min_seed_len, max_occ=max_occ,
+                         k_occ=k_occ)
+    ch = chain_device(s1["qbeg"], s1["qend"], s1["pos"], l_pac,
+                      band=band, max_chain_gap=max_chain_gap,
+                      drop_ratio=drop_ratio, max_chains=max_chains)
+    C = max_chains
+    keep = ch["keep"]
+    aq, alen, ar = ch["anchor_q"], ch["anchor_len"], ch["anchor_r"]
+
+    # DP compaction: a chain whose anchor covers the whole read is
+    # 'trivial' — extend_chains' no_left/no_right branches return
+    # exactly (qb=aq, qe=aq+alen, rb=ar, re=ar+alen, score=alen*match)
+    # for it, so it needs no DP row.  At wgsim-like error rates that is
+    # the majority; compacting the rest into M2=B rows cuts the
+    # extension batch ~4x.  n_dp > M2 overflow (pathological inputs) is
+    # reported for the host to re-extend uncompacted.
+    rlen2 = lens.astype(jnp.int32)[:, None]
+    trivial = keep & (aq == 0) & (alen == rlen2)
+    need = (keep & ~trivial).reshape(-1)                  # [B*C]
+    dest = jnp.cumsum(need.astype(jnp.int32)) - 1
+    n_dp = jnp.sum(need.astype(jnp.int32)).reshape(1)
+    M2 = B
+    ok = need & (dest < M2)
+    scat = jnp.where(ok, dest, M2)                        # M2 = dropped
+    src_b = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, C)).reshape(-1)
+    cb = jnp.full(M2, -1, jnp.int32).at[scat].set(
+        src_b, mode="drop")
+    caq = jnp.zeros(M2, jnp.int32).at[scat].set(
+        aq.reshape(-1), mode="drop")
+    calen = jnp.zeros(M2, jnp.int32).at[scat].set(
+        alen.reshape(-1), mode="drop")
+    car = jnp.zeros(M2, jnp.int32).at[scat].set(
+        ar.reshape(-1), mode="drop")
+    dqb, dqe, drb, dre, dscore = extend_chains(
+        text, reads, lens, cb, caq, calen, car, l_pac=l_pac,
+        o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+        match=match, mismatch=mismatch,
+        pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w)
+
+    gidx = jnp.clip(dest, 0, M2 - 1).reshape(B, C)
+    okg = ok.reshape(B, C)
+
+    def pick(dp, triv_val):
+        return jnp.where(trivial, triv_val,
+                         jnp.where(okg, dp[gidx.reshape(-1)].reshape(B, C),
+                                   0)).astype(jnp.int32)
+
+    qb = pick(dqb, aq)
+    qe = pick(dqe, aq + alen)
+    rb = pick(drb, ar)
+    re = pick(dre, ar + alen)
+    score = pick(dscore, alen * match)
+    return dict(qb=qb, qe=qe, rb=rb, re=re, score=score,
+                weight=ch["weight"], keep=keep, rep_cov=s1["rep_cov"],
+                n_dp=n_dp, anchor_q=aq, anchor_len=alen, anchor_r=ar)
 
 
 @functools.partial(jax.jit, static_argnames=(

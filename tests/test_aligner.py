@@ -341,3 +341,58 @@ def test_long_reads_250bp(aligner, tiny_seqs):
                 or abs(prim[0].pos - (end - 250)) <= 30):
             ok += 1
     assert ok >= 0.98 * len(reads)
+
+
+def test_dp_slot_overflow_fallback(tiny_seqs):
+    """When a batch holds more non-trivial chains than device DP slots
+    (M2 = batch size), the host re-extends uncompacted — results must
+    match per-read alignment of the same sequences."""
+    cat = dict(tiny_seqs)
+    # a 150bp segment duplicated at 4 loci: a mismatched read of it
+    # forms 4 non-trivial chains (equal weight, all kept), so 8 reads
+    # give n_dp = 32 > padded B = 8 -> overflow
+    rng = np.random.default_rng(11)
+    seg = "".join("ACGT"[c] for c in rng.integers(0, 4, 150))
+    spacers = ["".join("ACGT"[c] for c in rng.integers(0, 4, 220))
+               for _ in range(5)]
+    ref = spacers[0] + seg + spacers[1] + seg + spacers[2] + seg \
+        + spacers[3] + seg + spacers[4]
+    idx = FMIndex.construct([("rep", ref)])
+    aln = BWAAligner(idx)
+    reads = []
+    for i in range(8):
+        s = list(seg)
+        s[70 + i] = "A" if s[70 + i] != "A" else "C"
+        reads.append("".join(s))
+    calls = {"n": 0}
+    orig = aln._extend_uncompacted
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+    aln._extend_uncompacted = counting
+    batch = aln.align_batch(reads, [f"o{i}" for i in range(8)],
+                            max_secondary=4)
+    assert calls["n"] >= 1, "overflow fallback did not trigger"
+    locs = {220 + 370 * k for k in range(4)}
+    for i, recs in enumerate(batch):
+        solo = aln.align_sequence(reads[i], f"o{i}", max_secondary=4)
+        assert [(r.tid, r.pos, str(r.cigar), r.flag) for r in recs] == \
+               [(r.tid, r.pos, str(r.cigar), r.flag) for r in solo]
+        assert recs and recs[0].pos in locs
+        assert recs[0].mapq == 0          # 4 equal loci -> ambiguous
+
+    # direct check that the fallback path produces identical regions
+    # to the compacted path when both are viable: single clean read
+    clean = dict(tiny_seqs)["bcr"][9000:9150]
+    aln = BWAAligner(FMIndex.construct(tiny_seqs))
+    recs_c = aln.align_sequence(clean, "clean")
+    enc, lens = aln._encode_batch([clean])
+    out = __import__("jax").device_get(aln._dispatch_stage1(
+        __import__("jax.numpy", fromlist=["asarray"]).asarray(enc),
+        __import__("jax.numpy", fromlist=["asarray"]).asarray(
+            lens.astype(np.int32))))
+    qb, qe, rb, re, sc = aln._extend_uncompacted(enc, lens, out)
+    keep = out["keep"]
+    assert (qb[keep] == out["qb"][keep]).all()
+    assert (sc[keep] == out["score"][keep]).all()
+    assert (rb[keep] == out["rb"][keep]).all()

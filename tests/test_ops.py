@@ -267,3 +267,51 @@ def test_reseed_scan_finds_repeat_core(tiny):
     # one occurrence at the primary locus, one elsewhere
     assert (np.abs(pos2 - (280 + qb2)) <= 1).any()
     assert (np.abs(pos2 - (280 + qb2)) > 100).any()
+
+
+def test_chain_device_matches_host():
+    """Device chaining (chain_device) reproduces the host reference
+    chainer (align.chain.chain_batch) on randomized seed sets: same
+    kept chains per read (anchor tuple + weight), including drop_ratio
+    filtering, top-C capping, and midpoint-crossing exclusion."""
+    import numpy as np
+    from seqlib_tpu.align.chain import chain_batch
+    from seqlib_tpu.align.device_pipeline import chain_device
+    rng = np.random.default_rng(7)
+    B, S, K = 16, 9, 8
+    l_pac = 5000
+    for trial in range(6):
+        qb = rng.integers(0, 100, (B, S)).astype(np.int32)
+        qe = qb + rng.integers(19, 60, (B, S)).astype(np.int32)
+        pos = rng.integers(-1, 2 * l_pac - 80, (B, S, K)).astype(np.int32)
+        # sprinkle clustered colinear occurrences so real chains form
+        for b in range(B):
+            base = int(rng.integers(0, l_pac - 500))
+            for s in range(S // 2):
+                pos[b, s, 0] = base + int(qb[b, s])
+                pos[b, s, 1] = base + int(qb[b, s]) + int(
+                    rng.integers(0, 30))
+        drop = [0.5, 0.4][trial % 2]
+        dev = {k: np.asarray(v) for k, v in chain_device(
+            jnp.asarray(qb), jnp.asarray(qe), jnp.asarray(pos),
+            l_pac, band=100, max_chain_gap=10000, drop_ratio=drop,
+            max_chains=4).items()}
+        qb3 = np.broadcast_to(qb[:, :, None], pos.shape)
+        qe3 = np.broadcast_to(qe[:, :, None], pos.shape)
+        sl3 = qe3 - qb3
+        valid = (pos >= 0) & ~((pos < l_pac) & (pos + sl3 > l_pac))
+        ridx, sidx, kidx = np.nonzero(valid)
+        host = chain_batch(
+            ridx.astype(np.int64), qb3[ridx, sidx, kidx].astype(np.int64),
+            qe3[ridx, sidx, kidx].astype(np.int64),
+            pos[ridx, sidx, kidx].astype(np.int64),
+            l_pac, band=100, max_chain_gap=10000, drop_ratio=drop,
+            max_chains=4)
+        for b in range(B):
+            h = {(int(host["anchor_q"][m]), int(host["anchor_len"][m]),
+                  int(host["anchor_r"][m]), int(host["weight"][m]))
+                 for m in np.flatnonzero(host["read"] == b)}
+            d = {(int(dev["anchor_q"][b, c]), int(dev["anchor_len"][b, c]),
+                  int(dev["anchor_r"][b, c]), int(dev["weight"][b, c]))
+                 for c in np.flatnonzero(dev["keep"][b])}
+            assert d == h, f"trial {trial} read {b}: {d} != {h}"
