@@ -56,7 +56,7 @@ def main():
     names = [r.name for r in reads]
     rseqs = [r.seq for r in reads]
 
-    B = 2048  # smaller batches -> deeper pipeline over the device link
+    B = 1024  # smaller batches -> deeper pipeline over the device link
     # warmup/compile
     t0 = time.time()
     aln.align_batch(rseqs[:B], names[:B])
@@ -65,7 +65,8 @@ def main():
     n_bench = min(8192, len(reads))  # full reference fastq
     t0 = time.time()
     out = [recs for _, recs in
-           aln.align_stream(iter(reads[:n_bench]), batch_size=B)]
+           aln.align_stream(iter(reads[:n_bench]), batch_size=B,
+                            workers=3)]
     dt = time.time() - t0
     reads_per_s = n_bench / dt
     mapped = sum(1 for rs in out if rs)
