@@ -7,11 +7,12 @@ These are the TPU-native replacement for libbwa's seeding core
 shared bit-for-bit with the host :class:`seqlib_tpu.index.FMIndex`
 (and hence with the on-disk bwa .bwt format):
 
-* ``cp_counts`` int32 [n_blocks+1, 4] — occ checkpoints every 128 bases
-* ``bwt_words`` uint32 [n_blocks, 8] — 16 bases/word, first base in the
-  top 2 bits
+* ``blocks`` uint32 [n_blocks+1, 12] — per 128-base block: 4 occ
+  checkpoints followed by 8 packed BWT words (16 bases/word, first
+  base in the top 2 bits).  Counts and words share one row so a rank
+  query is a SINGLE row gather (the seed scan is gather-bound).
 
-Rank is two gathers + XLA ``population_count`` on masked words; the
+Rank is one gather + XLA ``population_count`` on masked words; the
 whole seeding pass is a fixed-trip ``lax.fori_loop`` so one compiled
 program serves every batch.  Everything here is pure JAX (jit/shard_map
 friendly); the Pallas double-buffered variant lives in ops/fm_pallas.py.
@@ -32,8 +33,7 @@ import numpy as np
 class DeviceFMIndex:
     """FM-index arrays resident on device."""
 
-    cp_counts: jax.Array   # int32 [n_blocks+1, 4]
-    bwt_words: jax.Array   # uint32 [n_blocks, 8]
+    blocks: jax.Array      # uint32 [n_blocks+1, 12] (4 counts + 8 words)
     sa_samples: jax.Array  # int32 [n_sa]
     L2: jax.Array          # int32 [5]
     primary: jax.Array     # int32 scalar
@@ -42,7 +42,7 @@ class DeviceFMIndex:
     l_pac: int             # static python int
 
     def tree_flatten(self):
-        return ((self.cp_counts, self.bwt_words, self.sa_samples,
+        return ((self.blocks, self.sa_samples,
                  self.L2, self.primary),
                 (self.seq_len, self.sa_intv, self.l_pac))
 
@@ -71,9 +71,12 @@ class DeviceFMIndex:
             sa = idx.sa_samples.astype(np.int64).copy()
             sa[0] = 0
             sa_intv = int(idx.sa_intv)
+        nb = idx.bwt_words.shape[0]
+        blocks = np.zeros((nb + 1, 12), np.uint32)
+        blocks[:, :4] = idx.cp_counts.astype(np.uint32)[:nb + 1]
+        blocks[:nb, 4:] = idx.bwt_words
         return cls(
-            cp_counts=jnp.asarray(idx.cp_counts.astype(np.int32)),
-            bwt_words=jnp.asarray(idx.bwt_words),
+            blocks=jnp.asarray(blocks),
             sa_samples=jnp.asarray(sa.astype(np.int32)),
             L2=jnp.asarray(idx.L2.astype(np.int32)),
             primary=jnp.asarray(np.int32(idx.primary)),
@@ -112,11 +115,17 @@ def _inblock_count(words: jax.Array, c: jax.Array, within: jax.Array
 def rank(fm: DeviceFMIndex, c: jax.Array, k: jax.Array) -> jax.Array:
     """# of c in bwt[0..k-1]; c,k broadcastable int32 arrays,
     k in [0, seq_len]."""
+    c, k = jnp.broadcast_arrays(c, k)
     blk = k >> 7
     within = (k & 127).astype(jnp.int32)
-    base = fm.cp_counts[blk, c]
-    words = fm.bwt_words[jnp.minimum(blk, fm.bwt_words.shape[0] - 1)]
-    return base + _inblock_count(words, c, within)
+    row = fm.blocks[blk]                                  # [..., 12]
+    # 4-way arithmetic select of the count column (a take_along_axis
+    # here lowers to a second gather)
+    base = jnp.where(
+        c < 2,
+        jnp.where(c == 0, row[..., 0], row[..., 1]),
+        jnp.where(c == 2, row[..., 2], row[..., 3])).astype(jnp.int32)
+    return base + _inblock_count(row[..., 4:], c, within)
 
 
 def rank_full(fm: DeviceFMIndex, c: jax.Array, k: jax.Array) -> jax.Array:
@@ -218,7 +227,12 @@ def collect_seeds(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
         out["it"] = st["it"] + 1
         return out
 
-    st = jax.lax.while_loop(cond, body, init)
+    def body2(st):
+        # two scan steps per while iteration: halves loop overhead; the
+        # body is a no-op for finished reads so overshoot is safe
+        return body(body(st))
+
+    st = jax.lax.while_loop(cond, body2, init)
     return dict(qbeg=st["qbeg"], qend=st["qend"], intv_l=st["intv_l"],
                 intv_sz=st["intv_sz"], n_seeds=st["n"])
 
@@ -286,7 +300,7 @@ def reseed_scan(fm: DeviceFMIndex, reads: jax.Array, qb: jax.Array,
 
 def bwt_char(fm: DeviceFMIndex, r: jax.Array) -> jax.Array:
     """Stored-bwt code at bwt position r (already sentinel-adjusted)."""
-    word = fm.bwt_words[r >> 7, (r >> 4) & 7]
+    word = fm.blocks[r >> 7, 4 + ((r >> 4) & 7)]
     shift = (2 * (15 - (r & 15))).astype(jnp.uint32)
     return ((word >> shift) & jnp.uint32(3)).astype(jnp.int32)
 
