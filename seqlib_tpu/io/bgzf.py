@@ -64,9 +64,25 @@ class BgzfReader:
         if bsize is None:
             raise ValueError("BGZF: missing BC extra field")
         cdata_len = bsize - 12 - xlen - 8
+        if cdata_len < 0:
+            raise ValueError("BGZF: invalid BSIZE")
         cdata = self._fh.read(cdata_len)
-        self._fh.read(8)  # crc32 + isize
-        self._buf = zlib.decompress(cdata, -15)
+        if len(cdata) < cdata_len:
+            raise EOFError("BGZF: truncated block payload")
+        trailer = self._fh.read(8)  # crc32 + isize
+        if len(trailer) < 8:
+            raise EOFError("BGZF: truncated block trailer")
+        try:
+            d = zlib.decompressobj(-15)
+            buf = d.decompress(cdata, 65536)
+            if d.unconsumed_tail:
+                raise ValueError("BGZF: block inflates past 64 KiB")
+        except zlib.error as e:
+            raise ValueError(f"BGZF: corrupt deflate payload ({e})")
+        crc, isize = struct.unpack("<II", trailer)
+        if isize != len(buf) or zlib.crc32(buf) != crc:
+            raise ValueError("BGZF: block CRC/ISIZE mismatch")
+        self._buf = buf
         self._block_start = coffset
         self._within = 0
         self._next_block = coffset + bsize
