@@ -46,7 +46,12 @@ MAX_REGS = 8            # alignment regions kept per read
 
 @dataclass
 class AlnReg:
-    """mem_alnreg_t equivalent (coordinates in 2L text space)."""
+    """mem_alnreg_t equivalent (coordinates in 2L text space).
+
+    ``shard``/``gb``/``ge`` are used only by the sharded-index path
+    (align.sharded): rb/re stay shard-local (they index that shard's
+    text) while gb/ge are global pseudo-2L keys used for cross-shard
+    dedup/overlap tests."""
     rb: int
     re: int
     qb: int
@@ -58,6 +63,9 @@ class AlnReg:
     csub: int = 0
     sub_n: int = 0
     secondary: int = -1
+    shard: int = 0
+    gb: int = 0
+    ge: int = 0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -226,7 +234,8 @@ class BWAAligner:
             w=opt.w)
 
     def _collect_regions(self, enc: np.ndarray, lens: np.ndarray,
-                         stage1=None) -> list[list[AlnReg]]:
+                         stage1=None, dedup: bool = True
+                         ) -> list[list[AlnReg]]:
         """enc [B, L] nt4 codes (4-padded); returns per-read region
         lists (deduped, primary/secondary marked).  ONE fused device
         dispatch (seed scan + SA locate + chaining + extension);
@@ -255,8 +264,9 @@ class BWAAligner:
                 int(rb[b, c]), int(re[b, c]), int(qb[b, c]),
                 int(qe[b, c]), int(score[b, c]), int(weight[b, c]),
                 float(frac_reps[b])))
-        for b in range(B):
-            regions[b] = self._dedup_and_mark(regions[b])
+        if dedup:
+            for b in range(B):
+                regions[b] = self._dedup_and_mark(regions[b])
         return regions
 
     def _extend_uncompacted(self, enc, lens, out):
@@ -297,18 +307,26 @@ class BWAAligner:
         score[bs, cs] = esc[:n]
         return qb, qe, rb, re, score
 
-    def _dedup_and_mark(self, regs: list[AlnReg]) -> list[AlnReg]:
-        """mem_sort_dedup + mem_mark_primary_se semantics."""
+    def _dedup_and_mark(self, regs: list[AlnReg], key=None) -> list[AlnReg]:
+        """mem_sort_dedup + mem_mark_primary_se semantics.
+
+        ``key(r) -> (kb, ke)`` supplies the reference-interval used for
+        overlap tests (defaults to the region's own rb/re; the sharded
+        aligner passes global pseudo-2L keys)."""
         opt = self.options
+        if key is None:
+            key = lambda r: (r.rb, r.re)       # noqa: E731
         # dedup near-identical regions
-        regs = sorted(regs, key=lambda r: (-r.score, r.rb, r.qb))
+        regs = sorted(regs, key=lambda r: (-r.score, key(r), r.qb))
         out: list[AlnReg] = []
         for r in regs:
             dup = False
+            krb, kre = key(r)
             for o in out:
-                if max(r.rb, o.rb) < min(r.re, o.re):
-                    inter = min(r.re, o.re) - max(r.rb, o.rb)
-                    minw = min(r.re - r.rb, o.re - o.rb)
+                okb, oke = key(o)
+                if max(krb, okb) < min(kre, oke):
+                    inter = min(kre, oke) - max(krb, okb)
+                    minw = min(kre - krb, oke - okb)
                     if inter >= opt.mask_level_redun * minw \
                             and max(r.qb, o.qb) < min(r.qe, o.qe):
                         dup = True
