@@ -58,9 +58,7 @@ def _emit(seqs, names, args, tag: str, quals=None) -> None:
         for name, s in zip(names, seqs):
             out.write(f">{name}\n{s}\n")
         return
-    idx = FMIndex.load(args.reference) if _has_index(args.reference) \
-        else FMIndex.construct(_load_fasta(args.reference))
-    aln = BWAAligner(idx)
+    idx, aln = _open_aligner(args.reference)
     hdr = idx.header_from_index()
     fmt = BAM if args.bam else (CRAM if args.cram else SAM)
     w = BamWriter(fmt)
@@ -96,6 +94,26 @@ def _has_index(prefix: str) -> bool:
     import os
     return all(os.path.exists(prefix + e)
                for e in (".bwt", ".pac", ".sa", ".ann", ".amb"))
+
+
+def _open_aligner(reference: str):
+    """(index, aligner) for a reference path; references past the
+    single-device int32 bound automatically build a sharded index
+    (index/sharded.py) with whole-reference alignment semantics."""
+    from .align import ShardedBWAAligner
+    from .index import ShardedFMIndex
+    from .index.sharded import DEFAULT_MAX_SHARD_BP
+    if _has_index(reference):
+        idx = FMIndex.load(reference)
+        return idx, BWAAligner(idx)
+    seqs = _load_fasta(reference)
+    total = sum(len(s[1]) if not hasattr(s, "seq") else len(s.seq)
+                for s in seqs)
+    if total > DEFAULT_MAX_SHARD_BP:
+        idx = ShardedFMIndex.construct(seqs)
+        return idx, ShardedBWAAligner(idx)
+    idx = FMIndex.construct(seqs)
+    return idx, BWAAligner(idx)
 
 
 def _load_fasta(path: str):
@@ -158,9 +176,7 @@ def _run_align_paired(args) -> None:
     r2 = list(FastqReader(args.infasta2))
     if len(r1) != len(r2):
         sys.exit("paired inputs have different read counts")
-    idx = FMIndex.load(args.reference) if _has_index(args.reference) \
-        else FMIndex.construct(_load_fasta(args.reference))
-    aln = BWAAligner(idx)
+    idx, aln = _open_aligner(args.reference)
     hdr = idx.header_from_index()
     fmt = BAM if args.bam else (CRAM if args.cram else SAM)
     w = BamWriter(fmt)
