@@ -316,8 +316,11 @@ class BWAAligner:
         opt = self.options
         if key is None:
             key = lambda r: (r.rb, r.re)       # noqa: E731
-        # dedup near-identical regions
-        regs = sorted(regs, key=lambda r: (-r.score, key(r), r.qb))
+        # dedup near-identical regions; re only breaks ties after qb so
+        # the single-index path keeps its historical (-score, rb, qb)
+        # survivor order
+        regs = sorted(regs, key=lambda r: (-r.score, key(r)[0], r.qb,
+                                           key(r)[1]))
         out: list[AlnReg] = []
         for r in regs:
             dup = False

@@ -92,12 +92,17 @@ class ShardedBWAAligner(BWAAligner):
         return outs
 
     def _global_key(self, sub_idx: int, r: AlnReg) -> tuple[int, int]:
+        # keys are clamped to the shard's own strand range so a region
+        # straddling the fwd/rev midpoint (later dropped at the contig
+        # boundary check) can never bleed into ANOTHER shard's key range
+        # and spuriously dedup a genuine region there
         lp = self.subs[sub_idx].index.l_pac
         off = self._fwd_off[sub_idx]
         if r.rb >= lp:       # reverse strand: mirror into [G, 2G)
-            return (self._g_total + off + (2 * lp - r.re),
+            re_c = min(r.re, 2 * lp)
+            return (self._g_total + off + (2 * lp - re_c),
                     self._g_total + off + (2 * lp - r.rb))
-        return off + r.rb, off + r.re
+        return off + r.rb, off + min(r.re, lp)
 
     def _collect_regions(self, enc: np.ndarray, lens: np.ndarray,
                          stage1=None, dedup: bool = True

@@ -96,14 +96,32 @@ def _has_index(prefix: str) -> bool:
                for e in (".bwt", ".pac", ".sa", ".ann", ".amb"))
 
 
+def _has_sharded_index(prefix: str) -> bool:
+    import os
+    return os.path.exists(prefix + ".shards")
+
+
 def _open_aligner(reference: str):
     """(index, aligner) for a reference path; references past the
-    single-device int32 bound automatically build a sharded index
-    (index/sharded.py) with whole-reference alignment semantics."""
+    single-device int32 bound automatically build (or load) a sharded
+    index (index/sharded.py) with whole-reference alignment
+    semantics."""
     from .align import ShardedBWAAligner
     from .index import ShardedFMIndex
     from .index.sharded import DEFAULT_MAX_SHARD_BP
+    if _has_sharded_index(reference):
+        sidx = ShardedFMIndex.load(reference)
+        return sidx, ShardedBWAAligner(sidx)
     if _has_index(reference):
+        from .index.bwa_files import read_ann
+        l_pac, _, _ = read_ann(reference + ".ann")
+        if l_pac > DEFAULT_MAX_SHARD_BP:
+            # the monolithic on-disk index exceeds the device int32
+            # bound; a silent load would overflow DeviceFMIndex
+            raise ValueError(
+                f"index {reference} spans {l_pac} bp > device bound "
+                f"{DEFAULT_MAX_SHARD_BP}; rebuild it sharded with "
+                f"'seqtools index' (writes a .shards manifest)")
         idx = FMIndex.load(reference)
         return idx, BWAAligner(idx)
     seqs = _load_fasta(reference)
@@ -203,8 +221,20 @@ def _run_align_paired(args) -> None:
 
 
 def run_index(args) -> None:
-    """TPU-native extra: build + write a bwa-format index."""
-    idx = FMIndex.construct(_load_fasta(args.fasta_file))
+    """TPU-native extra: build + write a bwa-format index (sharded
+    automatically when the reference exceeds the device int32 bound)."""
+    from .index import ShardedFMIndex
+    from .index.sharded import DEFAULT_MAX_SHARD_BP
+    seqs = _load_fasta(args.fasta_file)
+    total = sum(len(s[1]) for s in seqs)
+    if total > DEFAULT_MAX_SHARD_BP:
+        sidx = ShardedFMIndex.construct(seqs)
+        sidx.write(args.fasta_file)
+        print(f"indexed {args.fasta_file} ({sidx.num_sequences()} "
+              f"sequences, {total} bp, {sidx.n_shards} shards)",
+              file=sys.stderr)
+        return
+    idx = FMIndex.construct(seqs)
     idx.write(args.fasta_file)
     print(f"indexed {args.fasta_file} "
           f"({idx.num_sequences()} sequences, {idx.l_pac} bp)",

@@ -103,12 +103,28 @@ class ShardedFMIndex:
 
     def write(self, prefix: str) -> None:
         """Write each shard in bwa's on-disk format as
-        ``<prefix>.shard<k>.{bwt,sa,ann,amb,pac}``."""
+        ``<prefix>.shard<k>.{bwt,sa,ann,amb,pac}`` plus a
+        ``<prefix>.shards`` JSON manifest recording the shard count and
+        sizes, so :meth:`load` is self-describing."""
+        import json
         for k, s in enumerate(self.shards):
             s.write(f"{prefix}.shard{k}")
+        with open(prefix + ".shards", "w") as fh:
+            json.dump({
+                "n_shards": self.n_shards,
+                "shard_bp": [s.l_pac for s in self.shards],
+                "first_rid": self.first_rid,
+            }, fh)
 
     @classmethod
-    def load(cls, prefix: str, n_shards: int) -> "ShardedFMIndex":
+    def load(cls, prefix: str, n_shards: int | None = None
+             ) -> "ShardedFMIndex":
+        """Load a sharded index.  ``n_shards`` is read from the
+        ``<prefix>.shards`` manifest when omitted."""
+        if n_shards is None:
+            import json
+            with open(prefix + ".shards") as fh:
+                n_shards = int(json.load(fh)["n_shards"])
         shards = [FMIndex.load(f"{prefix}.shard{k}")
                   for k in range(n_shards)]
         first_rid, n = [], 0

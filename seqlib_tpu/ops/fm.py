@@ -15,7 +15,7 @@ shared bit-for-bit with the host :class:`seqlib_tpu.index.FMIndex`
 Rank is one gather + XLA ``population_count`` on masked words; the
 whole seeding pass is a fixed-trip ``lax.fori_loop`` so one compiled
 program serves every batch.  Everything here is pure JAX (jit/shard_map
-friendly); the Pallas double-buffered variant lives in ops/fm_pallas.py.
+friendly).
 """
 
 from __future__ import annotations

@@ -96,3 +96,37 @@ def test_sharded_write_load(tiny_seqs, tmp_path):
     re = ShardedFMIndex.load(str(tmp_path / "idx"), sh.n_shards)
     assert re.num_sequences() == sh.num_sequences()
     assert re.sam_header_text() == sh.sam_header_text()
+
+
+def test_sharded_manifest_load(tiny_seqs, tmp_path):
+    """write() records a .shards manifest; load() is self-describing."""
+    sh = ShardedFMIndex.construct(tiny_seqs, max_shard_bp=120_000)
+    sh.write(str(tmp_path / "idx"))
+    assert (tmp_path / "idx.shards").exists()
+    re = ShardedFMIndex.load(str(tmp_path / "idx"))   # no n_shards arg
+    assert re.n_shards == sh.n_shards
+    assert re.sam_header_text() == sh.sam_header_text()
+
+
+def test_cli_detects_sharded_index(tiny_seqs, tmp_path):
+    from seqlib_tpu.cli import _open_aligner
+    from seqlib_tpu.align import ShardedBWAAligner as SBA
+    sh = ShardedFMIndex.construct(tiny_seqs, max_shard_bp=120_000)
+    prefix = str(tmp_path / "ref.fa")
+    sh.write(prefix)
+    idx, aln = _open_aligner(prefix)
+    assert isinstance(aln, SBA)
+    assert idx.n_shards == sh.n_shards
+
+
+def test_cli_rejects_oversized_monolithic_index(tmp_path, monkeypatch):
+    """A prebuilt single index past the device bound must not be loaded
+    silently (it would overflow DeviceFMIndex int32 ranks)."""
+    import seqlib_tpu.cli as cli
+    prefix = str(tmp_path / "big.fa")
+    for e in (".bwt", ".pac", ".sa", ".amb"):
+        (tmp_path / ("big.fa" + e)).write_bytes(b"")
+    (tmp_path / "big.fa.ann").write_text("2000000001 1 11\n0 chrX (null)\n"
+                                         "0 2000000001 0\n")
+    with pytest.raises(ValueError, match="device bound"):
+        cli._open_aligner(prefix)
