@@ -172,7 +172,7 @@ class BWAAligner:
                 o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
                 e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
                 pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
-                w=opt.w)
+                w=opt.w, zdrop=opt.zdrop)
         fused_out = dict(qb=dp2, qe=dp2, rb=dp2, re=dp2, score=dp2,
                          weight=dp2, keep=dp2, rep_cov=dp1, n_dp=dp1,
                          anchor_q=dp2, anchor_len=dp2, anchor_r=dp2)
@@ -231,7 +231,7 @@ class BWAAligner:
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
             pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
-            w=opt.w)
+            w=opt.w, zdrop=opt.zdrop)
 
     def _collect_regions(self, enc: np.ndarray, lens: np.ndarray,
                          stage1=None, dedup: bool = True
@@ -300,7 +300,8 @@ class BWAAligner:
             jnp.asarray(ar), l_pac=self.index.l_pac,
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
-            pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3, w=opt.w)
+            pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3, w=opt.w,
+            zdrop=opt.zdrop)
         eqb, eqe, erb, ere, esc = jax.device_get(res)
         qb[bs, cs] = eqb[:n]; qe[bs, cs] = eqe[:n]
         rb[bs, cs] = erb[:n]; re[bs, cs] = ere[:n]
@@ -391,7 +392,13 @@ class BWAAligner:
     def _regions_to_hits(self, enc, lens, names, seqs, regions):
         """Global-align every region, build per-read hit dicts."""
         opt = self.options
-        flat = [(b, r) for b, rs in enumerate(regions) for r in rs]
+        # minimum output score: regions under opt.T are not emitted
+        # (bwa mem_reg2sam's `score < opt->T` skip; NA still counts all
+        # regions like the reference's `regs.n`).  The reference's own
+        # alignSequence bypasses this filter because it calls
+        # mem_reg2aln directly — we follow bwa-mem output semantics.
+        flat = [(b, r) for b, rs in enumerate(regions) for r in rs
+                if r.score >= opt.T]
         hits_per_read: list[list[dict]] = [[] for _ in range(len(regions))]
         if not flat:
             return hits_per_read

@@ -227,7 +227,7 @@ def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
     "l_pac", "max_seeds", "min_seed_len", "max_occ", "k_occ",
     "band", "max_chain_gap", "drop_ratio", "max_chains",
     "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
-    "pen_clip5", "pen_clip3", "w"))
+    "pen_clip5", "pen_clip3", "w", "zdrop"))
 def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
                       l_pac: int,
                       max_seeds: int = 16, min_seed_len: int = 19,
@@ -237,7 +237,7 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
                       o_del: int = 6, e_del: int = 1, o_ins: int = 6,
                       e_ins: int = 1, match: int = 1, mismatch: int = 4,
                       pen_clip5: int = 5, pen_clip3: int = 5,
-                      w: int = 100):
+                      w: int = 100, zdrop: int = 0):
     """Fully fused stage 1+2: seed scan + SA locate + chaining +
     left/right extension in ONE device dispatch.
 
@@ -288,7 +288,7 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
         text, reads, lens, cb, caq, calen, car, l_pac=l_pac,
         o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
         match=match, mismatch=mismatch,
-        pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w)
+        pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w, zdrop=zdrop)
 
     gidx = jnp.clip(dest, 0, M2 - 1).reshape(B, C)
     okg = ok.reshape(B, C)
@@ -310,12 +310,13 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
 
 @functools.partial(jax.jit, static_argnames=(
     "l_pac", "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
-    "pen_clip5", "pen_clip3", "w"))
+    "pen_clip5", "pen_clip3", "w", "zdrop"))
 def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
                   l_pac: int,
                   o_del: int = 6, e_del: int = 1, o_ins: int = 6,
                   e_ins: int = 1, match: int = 1, mismatch: int = 4,
-                  pen_clip5: int = 5, pen_clip3: int = 5, w: int = 100):
+                  pen_clip5: int = 5, pen_clip3: int = 5, w: int = 100,
+                  zdrop: int = 0):
     """Left+right extension of M chain anchors in one dispatch.
 
     b_idx/aq/alen/ar: [M] anchor description (read index, anchor query
@@ -348,7 +349,8 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
     h0 = (alen * match).astype(jnp.int32)
     out_l = extend_batch(q_l, lq, t_l, wl, h0,
                          o_del=o_del, e_del=e_del, o_ins=o_ins,
-                         e_ins=e_ins, match=match, mismatch=mismatch)
+                         e_ins=e_ins, match=match, mismatch=mismatch,
+                         zdrop=zdrop)
     # clip decision (read 5'): local vs to-end
     no_left = lq == 0
     use_gl = (out_l["gscore"] > 0) \
@@ -378,7 +380,8 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
     out_r = extend_batch(q_r, rlen, t_r, wr,
                          score_l.astype(jnp.int32),
                          o_del=o_del, e_del=e_del, o_ins=o_ins,
-                         e_ins=e_ins, match=match, mismatch=mismatch)
+                         e_ins=e_ins, match=match, mismatch=mismatch,
+                         zdrop=zdrop)
     no_right = rlen == 0
     use_gr = (out_r["gscore"] > 0) \
         & (out_r["gscore"] > out_r["score"] - pen_clip3)

@@ -56,14 +56,16 @@ def _pack(h: jax.Array, i) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
-                                             "e_ins", "match", "mismatch"))
+                                             "e_ins", "match", "mismatch",
+                                             "zdrop"))
 def extend_batch(query: jax.Array, qlen: jax.Array,
                  target: jax.Array, tlen: jax.Array,
                  h0: jax.Array,
                  o_del: int = 6, e_del: int = 1,
                  o_ins: int = 6, e_ins: int = 1,
-                 match: int = 1, mismatch: int = 4):
-    """Batched seed extension (ksw_extend semantics, no zdrop).
+                 match: int = 1, mismatch: int = 4,
+                 zdrop: int = 0):
+    """Batched seed extension (ksw_extend semantics incl. zdrop).
 
     query/target: int8/int32 nt4 codes [B, Lq] / [B, Lt] (4 = N,
     scores as mismatch).  h0: initial score at origin [B].
@@ -71,7 +73,12 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
     The row loop is purely elementwise — running maxima are packed
     (score, row) int32s per target column; the cross-lane reductions
     (max/argmax) happen ONCE after the loop, which keeps the VPU on
-    lane-local work.
+    lane-local work.  With zdrop > 0, lanes whose row maximum falls
+    more than ``zdrop + e*|diag divergence|`` below their running best
+    stop early (bwa's Z-dropoff, the break in ksw_extend's row loop;
+    consumed by the reference via mem_opt_t.zdrop,
+    /root/reference/src/BWAAligner.cpp:36-41) — this costs one row
+    max+argmax reduction per row, skipped entirely when zdrop == 0.
 
     Returns dict: score, qle, tle (position of the max, lengths
     consumed), gscore, gtle (best score consuming the whole query).
@@ -91,10 +98,15 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
     neg_row = jnp.full((B, Lt + 1), NEG, jnp.int32)
     init = (h_row0.astype(jnp.int32), neg_row,
             neg_row,  # best_pack per column
-            neg_row)  # g_row: final-query-row scores
+            neg_row,  # g_row: final-query-row scores
+            (h0.astype(jnp.int32),                # zbest (row-max running)
+             jnp.zeros(B, jnp.int32),             # zbest_i
+             jnp.zeros(B, jnp.int32),             # zbest_j
+             jnp.zeros(B, dtype=bool)))           # stopped
 
     def body(i, st):
-        h_prev, f_prev, best_pack, g_row = st
+        h_prev, f_prev, best_pack, g_row, zst = st
+        zbest, zbi, zbj, stopped = zst
         qi = query[:, i].astype(jnp.int32)                    # [B]
         is_match = (trow == qi[:, None]) & (trow < 4) & (qi[:, None] < 4)
         sub = jnp.where(is_match, match, -mismatch)           # [B, Lt]
@@ -106,7 +118,7 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
         E = _row_scan_E(hnd, o_del, e_del)
         h = jnp.maximum(hnd, E)
         h = jnp.where(tmask, h, NEG)
-        active = (i < qlen)[:, None]                          # [B, 1]
+        active = ((i < qlen) & ~stopped)[:, None]             # [B, 1]
         h = jnp.where(active, h, h_prev)
         f = jnp.where(active, F, f_prev)
         # running packed max (elementwise only; j=0 column excluded);
@@ -114,10 +126,28 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
         hp = jnp.where(active & (jt[None, :] > 0),
                        jnp.maximum(h, -1), -1)
         best_pack = jnp.maximum(best_pack, _pack(hp, i))
-        g_row = jnp.where((i == qlen - 1)[:, None], h, g_row)
-        return (h, f, best_pack, g_row)
+        g_row = jnp.where(active & (i == qlen - 1)[:, None], h, g_row)
+        if zdrop > 0:
+            # bwa break condition, per lane: row max m at column mj;
+            # if m <= best and best - m - e*|Δi - Δj| > zdrop, stop.
+            rp = jnp.max((jnp.maximum(hp, -1) + 2) * 2048
+                         + (2047 - jt[None, :]), axis=-1)
+            m = rp // 2048 - 2
+            mj = 2047 - rp % 2048
+            act1 = active[:, 0]
+            better = m > zbest
+            di = i - zbi
+            dj = mj - zbj
+            gap = jnp.abs(di - dj)
+            pen = jnp.where(di > dj, e_del, e_ins) * gap
+            zstop = act1 & ~better & (zbest - m - pen > zdrop)
+            stopped = stopped | zstop | (act1 & (m <= 0))
+            zbest = jnp.where(act1 & better, m, zbest)
+            zbi = jnp.where(act1 & better, i, zbi)
+            zbj = jnp.where(act1 & better, mj, zbj)
+        return (h, f, best_pack, g_row, (zbest, zbi, zbj, stopped))
 
-    _, _, best_pack, g_row = jax.lax.fori_loop(0, Lq, body, init)
+    _, _, best_pack, g_row, _ = jax.lax.fori_loop(0, Lq, body, init)
     # single post-loop reductions
     col_best = jnp.max(best_pack, axis=-1)
     btle = jnp.argmax(best_pack, axis=-1).astype(jnp.int32)

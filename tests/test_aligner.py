@@ -396,3 +396,17 @@ def test_dp_slot_overflow_fallback(tiny_seqs):
     assert (qb[keep] == out["qb"][keep]).all()
     assert (sc[keep] == out["score"][keep]).all()
     assert (rb[keep] == out["rb"][keep]).all()
+
+
+def test_min_output_score_T(aligner, tiny_seqs):
+    """Regions scoring below opt.T are not emitted (bwa mem_reg2sam
+    semantics); lowering T re-admits them."""
+    from seqlib_tpu.align import BWAAligner
+    from seqlib_tpu.index import FMIndex
+    # a 25 bp exact slice: score 25 (>= min_seed_len, < default T=30)
+    frag = tiny_seqs[0][1][1000:1025].upper()
+    assert aligner.align_sequence(frag, "short") == []
+    aln2 = BWAAligner(FMIndex.construct(tiny_seqs))
+    aln2.options.T = 20
+    recs = aln2.align_sequence(frag, "short")
+    assert recs and recs[0].pos == 1000

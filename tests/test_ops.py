@@ -315,3 +315,48 @@ def test_chain_device_matches_host():
                   int(dev["anchor_r"][b, c]), int(dev["weight"][b, c]))
                  for c in np.flatnonzero(dev["keep"][b])}
             assert d == h, f"trial {trial} read {b}: {d} != {h}"
+
+
+def test_extend_zdrop_stops_dead_extension():
+    """ksw_extend's row-loop break (enabled when zdrop > 0): once a row
+    has no positive cell (m == 0) the extension gives up — a lucky
+    re-match far past a long divergence desert must NOT be glued on,
+    even if the unrestricted DP could revive through zero-score cells.
+    Construction: 40 bp match, 50 bp desert (every base mismatching),
+    150 bp match; the revived global path scores 88 but bwa breaks
+    inside the desert."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    tgt = rng.integers(0, 4, (1, 240)).astype(np.uint8)
+    q = tgt.copy()
+    d = rng.integers(0, 4, 50)
+    q[0, 40:90] = (tgt[0, 40:90] + 1 + (d % 3)) % 4   # all-mismatch desert
+    ql = jnp.full(1, 240, jnp.int32)
+    tl = jnp.full(1, 240, jnp.int32)
+    h0 = jnp.full(1, 10, jnp.int32)
+    free = extend_batch(jnp.asarray(q), ql, jnp.asarray(tgt), tl, h0,
+                        zdrop=0)
+    z = extend_batch(jnp.asarray(q), ql, jnp.asarray(tgt), tl, h0,
+                     zdrop=100)
+    # with the break: local best = the first 40 matches; without it,
+    # the unrestricted DP revives through zero-score desert cells and
+    # glues the 150 bp tail on
+    assert int(z["score"][0]) == 10 + 40
+    assert int(z["qle"][0]) == 40 and int(z["tle"][0]) == 40
+    assert int(free["score"][0]) > 10 + 40
+    assert int(z["gscore"][0]) <= 0 < int(free["gscore"][0])
+
+
+def test_extend_zdrop_zero_disables():
+    import numpy as np
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 4, (4, 32)).astype(np.uint8)
+    t = q.copy()
+    out0 = extend_batch(jnp.asarray(q), jnp.full(4, 32, jnp.int32),
+                        jnp.asarray(t), jnp.full(4, 32, jnp.int32),
+                        jnp.ones(4, jnp.int32))
+    outz = extend_batch(jnp.asarray(q), jnp.full(4, 32, jnp.int32),
+                        jnp.asarray(t), jnp.full(4, 32, jnp.int32),
+                        jnp.ones(4, jnp.int32), zdrop=100)
+    for k in ("score", "qle", "tle", "gscore", "gtle"):
+        assert (np.asarray(out0[k]) == np.asarray(outz[k])).all()
