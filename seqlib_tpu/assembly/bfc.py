@@ -1,12 +1,16 @@
-"""BFC-style k-mer spectrum error correction.
+"""BFC-style k-mer spectrum error correction — device pipeline.
 
 TPU-native rebuild of the reference's BFC wrapper over fermi-lite's
-corrector (/root/reference/src/BFC.cpp, /root/reference/SeqLib/BFC.h):
-Train() counts canonical k-mers over the stored reads (hash/sort/
-segment-reduce — numpy on host, jax-compatible layout), ErrorCorrect()
-estimates k-mer coverage from the count histogram and repairs bases
-whose covering k-mers are weak.  API parity with the reference:
-AddSequence / SetKmer / Train / ErrorCorrect / GetSequence / kcov.
+corrector (/root/reference/src/BFC.cpp, /root/reference/SeqLib/BFC.h).
+Train() counts canonical k-mers on DEVICE (pack -> sort -> segment
+reduce, ops/kmer.py — fml_count's role, BFC.cpp:208-280);
+ErrorCorrect() estimates k-mer coverage from the count histogram with
+the reference's exact formula (kcov = tot_k/sum_k over counts >=
+min_cnt; min_cov = clamp(0.1*kcov+.499, min_cnt, max_cnt),
+BFC.cpp:282-362) and repairs reads with a DEVICE lockstep
+spectrum-walk (ops.kmer.correct_reads_device — kmer_correct's role).
+API parity: AddSequence / SetKmer / Train / ErrorCorrect /
+GetSequence / kcov.
 
 The vendored bfc sources are absent from the reference snapshot (empty
 submodule — SURVEY.md §0.1), so numeric parity is pinned to behavior:
@@ -103,6 +107,9 @@ class BFC:
         self.table: KmerTable | None = None
         self.min_cov = 3
         self.flt_uniq = 0
+        self.min_cnt = 4       # fml_opt_init defaults
+        self.max_cnt = 8
+        self._dev = None       # (keys_hi, keys_lo, counts) device arrays
 
     # -- reads ----------------------------------------------------------
 
@@ -153,103 +160,100 @@ class BFC:
 
     # -- training (parity: Train BFC.cpp:208-280) -----------------------
 
+    def _encode_batch(self):
+        """Reads as one padded [B, L] nt4 matrix + lengths (device
+        batch layout shared with the aligner).  B is bucketed
+        (powers of two, then multiples of 4096) so the jitted kernels
+        compile once per bucket, not once per read count."""
+        L = max((len(s) for s in self.m_seqs), default=0)
+        L = max(((L + 31) // 32) * 32, 32)
+        B = len(self.m_seqs)
+        Bp = 64
+        while Bp < B and Bp < 4096:
+            Bp *= 2
+        if B > Bp:
+            Bp = (B + 4095) // 4096 * 4096
+        reads = np.full((Bp, L), 4, np.uint8)
+        lens = np.zeros(Bp, np.int64)
+        for i, s in enumerate(self.m_seqs):
+            e = encode_nt4(s)
+            reads[i, :e.size] = e
+            lens[i] = e.size
+        return reads, lens
+
     def train(self) -> None:
         if not self.m_seqs:
             return
+        import jax
+        import jax.numpy as jnp
+        from ..ops.kmer import canonical_kmers_device, count_kmers_device
         total = sum(len(s) for s in self.m_seqs)
         if self.kmer <= 0:
             self.kmer = auto_kmer(total)
         k = self.kmer
-        chunks = [canonical_kmers(encode_nt4(s), k) for s in self.m_seqs
-                  if len(s) >= k]
-        allk = np.concatenate(chunks) if chunks \
-            else np.empty(0, np.uint64)
-        self.table = KmerTable(allk)
+        reads, lens = self._encode_batch()
+        hi, lo, valid = canonical_kmers_device(
+            jnp.asarray(reads), jnp.asarray(lens), k)
+        kh, kl, cnt, n_uniq = count_kmers_device(hi, lo, valid)
+        self._dev = (kh, kl, cnt)
+        # host mirror for the KmerTable API (fermi filters, tests)
+        n = int(n_uniq)
+        h_np = np.asarray(kh[:n]).astype(np.uint32).astype(np.uint64)
+        l_np = np.asarray(kl[:n]).astype(np.uint32).astype(np.uint64)
+        t = KmerTable.__new__(KmerTable)
+        t.keys = (h_np << np.uint64(32)) | l_np
+        t.counts = np.asarray(cnt[:n]).astype(np.int64)
+        self.table = t
 
     # -- correction (parity: ErrorCorrect BFC.cpp:282-362) --------------
-
-    def _estimate_kcov(self) -> float:
-        """Mode of the count histogram above the error valley."""
-        h = self.table.hist()
-        # find first local minimum after 1, then the mode after it
-        valley = 1
-        for i in range(2, len(h) - 1):
-            if h[i] <= h[i - 1] and h[i] <= h[i + 1]:
-                valley = i
-                break
-        if valley + 1 >= len(h):
-            return 1.0
-        mode = valley + int(np.argmax(h[valley:]))
-        return float(mode)
 
     def error_correct(self) -> None:
         if self.table is None:
             self.train()
         if self.table is None or self.table.keys.size == 0:
             return
+        import jax.numpy as jnp
+        from ..ops.kmer import correct_reads_device
         k = self.kmer
-        self.kcov = self._estimate_kcov()
-        self.min_cov = int(BFC_EC_MIN_COV_COEF * self.kcov + 0.499)
-        # bfc's floor is 3 (doubly-supported errors are common
-        # at 30x with 0.5% error rate)
-        self.min_cov = max(3, min(self.min_cov, 10))
-        # two passes: a fix at one end can unlock the greedy scan's
-        # repair of the other end on the next sweep
-        for _ in range(2):
-            changed = False
-            for i, s in enumerate(self.m_seqs):
-                fixed = self._correct_one(s, k)
-                if fixed != s:
-                    changed = True
-                    self.m_seqs[i] = fixed
-            if not changed:
-                break
-
-    def _correct_one(self, seq: str, k: int) -> str:
-        if len(seq) < k:
-            return seq
-        codes = encode_nt4(seq).copy()
-        n = codes.size - k + 1
-        counts = self.table.lookup(canonical_kmers(codes, k))
-        solid = counts >= self.min_cov
-        if solid.all():
-            return seq
-        # scan left to right; at each transition solid->weak the base at
-        # (weak_start + k - 1) is the error candidate (spectrum edge)
-        changed = False
-        i = 0
-        while i < n:
-            if solid[i]:
-                i += 1
-                continue
-            # error candidate position: if previous kmer solid, the new
-            # base entering the window; else leftmost base of window
-            pos = i + k - 1 if i > 0 and solid[i - 1] else i
-            best_b, best_gain = -1, 0
-            orig = codes[pos]
-            lo = max(0, pos - k + 1)
-            hi = min(n, pos + 1)
-            cur_solid = int(solid[lo:hi].sum())
-            for b in range(4):
-                if b == orig:
-                    continue
-                codes[pos] = b
-                sub = canonical_kmers(codes[lo:hi + k - 1], k)
-                cnt = self.table.lookup(sub)
-                gain = int((cnt >= self.min_cov).sum()) - cur_solid
-                if gain > best_gain:
-                    best_gain, best_b = gain, b
-            if best_b >= 0:
-                codes[pos] = best_b
-                changed = True
-                # recompute window solidity
-                sub = canonical_kmers(codes[lo:hi + k - 1], k)
-                solid[lo:hi] = self.table.lookup(sub) >= self.min_cov
-                i = hi
-            else:
-                codes[pos] = orig
-                i += 1
-        return decode_nt4(codes) if changed else seq
+        # exact reference coverage estimate (BFC.cpp:326-346):
+        # counts capped at 255, summed over i >= min_cnt
+        h = self.table.hist(max_cnt=255)
+        idx = np.arange(256)
+        sel = idx >= self.min_cnt
+        sum_k = int(h[sel].sum())
+        tot_k = int((idx[sel] * h[sel]).sum())
+        self.kcov = float(tot_k) / sum_k if sum_k else 0.0
+        raw = int(BFC_EC_MIN_COV_COEF * self.kcov + 0.499)
+        self.min_cov = max(self.min_cnt, min(raw, self.max_cnt))
+        reads, lens = self._encode_batch()
+        kh, kl, cnt = self._dev
+        # cheap pre-scan: only reads with at least one weak window go
+        # through the (expensive) walk — at low error rates that is
+        # about half the batch
+        from ..ops.kmer import weak_reads_device
+        weak = np.asarray(weak_reads_device(
+            jnp.asarray(reads), jnp.asarray(lens), kh, kl, cnt,
+            k, self.min_cov))
+        idx = np.flatnonzero(weak[:len(self.m_seqs)])
+        if idx.size == 0:
+            return
+        Bp = 64
+        while Bp < idx.size and Bp < 4096:
+            Bp *= 2
+        if idx.size > Bp:
+            Bp = (idx.size + 4095) // 4096 * 4096
+        sub = np.full((Bp, reads.shape[1]), 4, np.uint8)
+        sl = np.zeros(Bp, np.int64)
+        sub[:idx.size] = reads[idx]
+        sl[:idx.size] = lens[idx]
+        corr, nchg = correct_reads_device(
+            jnp.asarray(sub), jnp.asarray(sl), kh, kl, cnt,
+            k, self.min_cov)
+        corr = np.asarray(corr)
+        nchg = np.asarray(nchg)
+        for q in np.flatnonzero(nchg[:idx.size] > 0):
+            i = int(idx[q])
+            self.m_seqs[i] = decode_nt4(corr[q, :int(sl[q])])
 
     # reference-style aliases
     AddSequence = add_sequence

@@ -34,16 +34,19 @@ class AssemblyOptions:
     min_cnt: int = 4
     max_cnt: int = 8
     n_threads: int = 1
-    # mag_opt
+    # mag_opt (fermi-lite magopt_init defaults)
     aggressive: bool = False
     simplify_bubble: bool = True
     min_dratio1: float = 0.7
     min_elen: int = 300
+    min_ensr: int = 4          # min supporting reads, end-unitig
+    min_insr: int = 3          # min supporting reads, internal
 
 
 @dataclass
 class Unitig:
-    """fml_utg_t analog."""
+    """fml_utg_t analog; links mirror fml_ovlp_t entries (populated
+    from the final unitig graph, not by re-scanning sequences)."""
     seq: str
     nsr: int                    # number of supporting reads
     cov: str                    # per-base coverage, ASCII 33-based
@@ -122,7 +125,9 @@ class FermiAssembler:
     # -- correction ------------------------------------------------------
 
     def correct_reads(self) -> None:
-        """(parity: CorrectReads -> fml_correct)"""
+        """(parity: CorrectReads -> fml_correct).  The trained k-mer
+        table is cached for the assembly's read filter so a
+        CorrectReads -> PerformAssembly flow counts k-mers once."""
         bfc = BFC()
         if self.opt.ec_k:
             bfc.set_kmer(self.opt.ec_k)
@@ -131,6 +136,10 @@ class FermiAssembler:
         bfc.train()
         bfc.error_correct()
         self.m_seqs = list(bfc.m_seqs)
+        # retraining on the corrected reads keeps the cached table
+        # consistent with what _kmer_filter would compute
+        bfc.train()
+        self._flt_cache = (hash(tuple(self.m_seqs)), bfc._dev, bfc.kmer)
 
     def correct_and_filter_reads(self) -> None:
         """(parity: CorrectAndFilterReads -> fml_fltuniq): correct, then
@@ -162,13 +171,15 @@ class FermiAssembler:
 
     def direct_assemble(self, kcov: float = 0.0) -> None:
         """Assembly without correction (parity: DirectAssemble
-        FermiAssembler.cpp:24-39; kcov drives fermi's min_ensr
-        heuristic — here it scales the min supporting-read count)."""
-        old = self.opt.min_cnt
+        FermiAssembler.cpp:24-39: min_ensr = max(min_ensr,
+        kcov * MAG_MIN_NSR_COEF), min_insr = min_ensr - 1)."""
+        old = (self.opt.min_ensr, self.opt.min_insr)
         if kcov > 0:
-            self.opt.min_cnt = max(2, int(kcov * 0.1))
+            self.opt.min_ensr = max(self.opt.min_ensr,
+                                    int(kcov * 0.1 + 0.499))
+            self.opt.min_insr = self.opt.min_ensr - 1
         self.m_utgs = self._assemble(self.m_seqs)
-        self.opt.min_cnt = old
+        self.opt.min_ensr, self.opt.min_insr = old
 
     def get_contigs(self) -> list[str]:
         return [u.seq for u in self.m_utgs]
@@ -178,204 +189,166 @@ class FermiAssembler:
 
     # -- core overlap assembler -----------------------------------------
 
+    def _kmer_filter(self, seqs: list[str]) -> list[str]:
+        """fml_assemble's pre-graph uniq-kmer read filter: drop reads
+        carrying k-mers below threshold (errors make graph bubbles).
+        Counting + lookup run on device (ops/kmer.py)."""
+        if len(seqs) <= 50:
+            return seqs
+        import jax.numpy as jnp
+        from ..core.seq import encode_nt4
+        from ..ops.kmer import (canonical_kmers_device,
+                                count_kmers_device, weak_reads_device)
+        from .bfc import auto_kmer
+        total = sum(len(x) for x in seqs)
+        k = self.opt.ec_k or auto_kmer(total)
+        cache = getattr(self, "_flt_cache", None)
+        cached_dev = None
+        if cache is not None and cache[0] == hash(tuple(seqs)):
+            cached_dev, k = cache[1], cache[2]
+        L = max(len(x) for x in seqs)
+        L = max(((L + 31) // 32) * 32, k + 1)
+        B = len(seqs)
+        Bp = 64
+        while Bp < B and Bp < 4096:
+            Bp *= 2
+        if B > Bp:
+            Bp = (B + 4095) // 4096 * 4096
+        reads = np.full((Bp, L), 4, np.uint8)
+        lens = np.zeros(Bp, np.int64)
+        for i, x in enumerate(seqs):
+            e = encode_nt4(x)
+            reads[i, :e.size] = e
+            lens[i] = e.size
+        rj, lj = jnp.asarray(reads), jnp.asarray(lens)
+        if cached_dev is not None:
+            kh, kl, cnt = cached_dev
+        else:
+            hi, lo, valid = canonical_kmers_device(rj, lj, k)
+            kh, kl, cnt, _ = count_kmers_device(hi, lo, valid)
+        thr = max(2, min(3, self.opt.min_cnt - 1))
+        weak = np.asarray(weak_reads_device(rj, lj, kh, kl, cnt, k, thr))
+        ok = ~weak[:B] & (lens[:B] >= k)
+        kept = [seqs[i] for i in np.flatnonzero(ok)]
+        return kept if len(kept) >= 0.5 * len(seqs) else seqs
+
     def _assemble(self, seqs: list[str], flt_uniq: bool = True
                   ) -> list[Unitig]:
-        min_ovlp = self.opt.min_asm_ovlp
-        if self.opt.aggressive:
-            min_ovlp = max(min_ovlp, min_ovlp + 10)
-        # fermi-lite's fml_assemble filters reads carrying singleton
-        # k-mers before graph construction (error reads make bubbles);
-        # same here with the BFC table
-        if flt_uniq and len(seqs) > 50:
-            from .bfc import KmerTable, canonical_kmers, auto_kmer
-            from ..core.seq import encode_nt4
-            total = sum(len(s) for s in seqs)
-            k = self.opt.ec_k or auto_kmer(total)
-            chunks = [canonical_kmers(encode_nt4(s), k) for s in seqs
-                      if len(s) >= k]
-            table = KmerTable(np.concatenate(chunks)) if chunks else None
-            if table is not None and table.keys.size:
-                kept = []
-                thr = max(2, min(3, self.opt.min_cnt - 1))
-                for s in seqs:
-                    if len(s) < k:
-                        continue
-                    cnt = table.lookup(canonical_kmers(encode_nt4(s), k))
-                    if (cnt >= thr).all():
-                        kept.append(s)
-                if len(kept) >= 0.5 * len(seqs):
-                    seqs = kept
-        # 1) dedup with multiplicity, both orientations
+        """reads -> unitigs: sort-join overlap detection
+        (assembly/overlap.py), reciprocal drop-ratio pruning,
+        transitive reduction, chain condensation, and mag-style
+        tip/bubble cleaning rounds (assembly/sgraph.py) — the roles of
+        fml_fmi2mag / fml_mag_clean / fml_mag2utg
+        (/root/reference/src/FermiAssembler.cpp:24-39)."""
+        from ..core.seq import encode_nt4, decode_nt4
+        from .overlap import find_overlaps
+        from . import sgraph
+        opt = self.opt
+        min_ovlp = opt.min_asm_ovlp
+        if flt_uniq:
+            seqs = self._kmer_filter(seqs)
+        # dedup with multiplicity in CANONICAL orientation (a read and
+        # its reverse complement are the same molecule — fermi's FMD
+        # index is strand-symmetric); drop reads too short or with Ns
         counts: dict[str, int] = {}
-        for s in seqs:
-            if len(s) >= min_ovlp + 1 and "N" not in s:
-                counts[s] = counts.get(s, 0) + 1
-        # drop contained reads (substring of another read)
-        uniq = sorted(counts, key=len, reverse=True)
-        kept: list[str] = []
-        seen_sub: set[str] = set()
-        # cheap containment filter via 2-sided anchors
-        big = set(uniq)
-        oriented: list[str] = []
-        mult: list[int] = []
-        for s in uniq:
-            oriented.append(s)
-            mult.append(counts[s])
-        # add reverse complements as their own oriented nodes
-        n_fwd = len(oriented)
-        for i in range(n_fwd):
-            oriented.append(revcomp(oriented[i]))
-            mult.append(mult[i])
-        N = len(oriented)
-        if N == 0:
+        for x in seqs:
+            if len(x) >= min_ovlp + 1 and "N" not in x:
+                key = min(x, revcomp(x))
+                counts[key] = counts.get(key, 0) + 1
+        uniq = sorted(counts)                  # deterministic
+        U = len(uniq)
+        if U == 0:
             return []
+        # oriented nodes: 2u = fwd, 2u+1 = rc
+        N = 2 * U
+        L = max(len(x) for x in uniq)
+        codes = np.full((N, L), 4, np.uint8)
+        lens = np.zeros(N, np.int64)
+        mult = np.zeros(N, np.int64)
+        for u, x in enumerate(uniq):
+            e = encode_nt4(x)
+            codes[2 * u, :e.size] = e
+            codes[2 * u + 1, :e.size] = 3 - e[::-1]
+            lens[2 * u] = lens[2 * u + 1] = e.size
+            mult[2 * u] = mult[2 * u + 1] = counts[x]
 
-        # 2) overlap detection: index SEED-length prefixes
-        SEED = min(min_ovlp, 32)
-        pref: dict[str, list[int]] = {}
-        for j, s in enumerate(oriented):
-            pref.setdefault(s[:SEED], []).append(j)
+        src, dst, olen, contained = find_overlaps(codes, lens, min_ovlp)
+        alive = ~(contained | contained[np.arange(N) ^ 1])
+        keep_e = alive[src] & alive[dst]
+        src, dst, olen = src[keep_e], dst[keep_e], olen[keep_e]
+        src, dst, olen = sgraph.prune_edges(
+            src, dst, olen, N, opt.min_dratio1)
+        keep = sgraph.transitive_reduction(src, dst, olen, lens)
+        src, dst, olen = src[keep], dst[keep], olen[keep]
 
-        MAXC = 4
-        cand_succ: list[list[tuple[int, int]]] = [[] for _ in range(N)]
-        for i, s in enumerate(oriented):
-            L = len(s)
-            # up to MAXC longest proper suffix-prefix overlaps,
-            # scanning p ascending (longest first)
-            for p in range(1, L - min_ovlp + 1):
-                key = s[p:p + SEED]
-                for j in pref.get(key, ()):
-                    if j == i:
-                        continue
-                    t = oriented[j]
-                    olen = L - p
-                    if olen < len(t) and t[:olen] == s[p:]:
-                        cand_succ[i].append((j, olen))
-                        break
-                if len(cand_succ[i]) >= MAXC:
-                    break
-        # drop-ratio pruning
-        for i, cands in enumerate(cand_succ):
-            if cands:
-                mx = cands[0][1]
-                cand_succ[i] = [(j, o) for j, o in cands
-                                if o >= self.opt.min_dratio1 * mx]
-        # best predecessor over ALL candidate edges
-        best_pred = [-1] * N
-        best_pred_len = [0] * N
-        for i in range(N):
-            for j, o in cand_succ[i]:
-                if o > best_pred_len[j]:
-                    best_pred[j] = i
-                    best_pred_len[j] = o
-        # successor = longest candidate whose best pred is us
-        best_succ = [-1] * N
-        best_succ_len = [0] * N
-        for i in range(N):
-            for j, o in cand_succ[i]:
-                if best_pred[j] == i:
-                    best_succ[i] = j
-                    best_succ_len[i] = o
-                    break
+        seq_list = [codes[v, :lens[v]] for v in range(N)]
+        cov_list = [np.full(int(lens[v]), mult[v], np.int32)
+                    for v in range(N)]
+        nsr_list = [int(mult[v]) for v in range(N)]
+        twin = np.arange(N) ^ 1
+        utgs, usrc, udst, uolen = sgraph.condense(
+            N, seq_list, cov_list, nsr_list,
+            src.astype(np.int64), dst.astype(np.int64),
+            olen.astype(np.int64), alive, twin)
+        for _ in range(3):
+            changed = sgraph.clean_unitigs(
+                utgs, usrc, udst, uolen,
+                min_elen=opt.min_elen, min_ensr=opt.min_ensr,
+                min_insr=opt.min_insr,
+                simplify_bubble=opt.simplify_bubble,
+                aggressive=opt.aggressive)
+            if not changed:
+                break
+            seq2, cov2, nsr2, s2, d2, o2, tw2 = sgraph.reexpand(
+                utgs, usrc, udst, uolen)
+            utgs, usrc, udst, uolen = sgraph.condense(
+                len(seq2), seq2, cov2, nsr2, s2, d2, o2,
+                np.ones(len(seq2), bool), np.asarray(tw2, np.int64))
 
-        def rc_id(i: int) -> int:
-            return i + n_fwd if i < n_fwd else i - n_fwd
-
-        # 3) walk maximal chains (reciprocal links only)
-        used = [False] * N
-        unitigs: list[Unitig] = []
-        for start in range(N):
-            if used[start]:
-                continue
-            # rewind to chain head
-            head = start
-            guard = 0
-            while True:
-                p = best_pred[head]
-                if p < 0 or best_succ[p] != head or used[p]:
-                    break
-                head = p
-                guard += 1
-                if head == start or guard > N:
-                    break  # cycle
-            # walk forward
-            chain = [head]
-            used[head] = True
-            used_rc = {rc_id(head)}
-            node = head
-            while True:
-                nxt = best_succ[node]
-                if nxt < 0 or best_pred[nxt] != node or used[nxt] \
-                        or nxt in used_rc:
-                    break
-                chain.append(nxt)
-                used[nxt] = True
-                used_rc.add(rc_id(nxt))
-                node = nxt
-            # build sequence + coverage
-            seq = oriented[chain[0]]
-            cov = np.zeros(len(seq), dtype=np.int32)
-            cov[:] += mult[chain[0]]
-            nsr = mult[chain[0]]
-            offset = 0
-            for a, b in zip(chain, chain[1:]):
-                o = best_succ_len[a]
-                t = oriented[b]
-                offset = len(seq) - o
-                seq = seq[:offset] + t
-                grown = np.zeros(len(seq), dtype=np.int32)
-                grown[:cov.size] = cov
-                grown[offset:offset + len(t)] += mult[b]
-                cov = grown
-                nsr += mult[b]
-            # mark rc of all chain members used so each unitig emits once
-            for c in chain:
-                used[rc_id(c)] = True
-            unitigs.append(Unitig(
-                seq=seq, nsr=nsr,
-                cov="".join(chr(min(int(c), 92) + 33) for c in cov)))
-        # 4) filter: minimum support / length heuristics
-        out = [u for u in unitigs
-               if u.nsr >= 2 or len(u.seq) >= self.opt.min_elen]
-        # canonical dedup (a unitig and its revcomp)
-        seen: set[str] = set()
-        final = []
-        for u in out:
-            key = min(u.seq, revcomp(u.seq))
+        # emit canonical unitigs (each rc pair once, deterministic)
+        live = [i for i, u in enumerate(utgs) if u.alive]
+        emit: dict[int, tuple[int, str]] = {}    # utg id -> (idx, orient)
+        out: list[Unitig] = []
+        seen: dict[bytes, int] = {}
+        order = sorted(live, key=lambda i: (-len(utgs[i].seq),
+                                            utgs[i].seq.tobytes()))
+        for i in order:
+            u = utgs[i]
+            fwd = u.seq.tobytes()
+            rc = (3 - u.seq[::-1]).tobytes()
+            key = min(fwd, rc)
             if key in seen:
+                emit[i] = (seen[key], "+" if fwd <= rc else "-")
                 continue
-            seen.add(key)
-            final.append(u)
-        # 5) drop contained unitigs (tips absorbed by larger paths)
-        final.sort(key=lambda u: -len(u.seq))
-        kept_out: list[Unitig] = []
-        for u in final:
-            rc = revcomp(u.seq)
-            contained = any(u.seq in big.seq or rc in big.seq
-                            for big in kept_out)
-            if not contained:
-                kept_out.append(u)
-        return kept_out
+            idx = len(out)
+            seen[key] = idx
+            emit[i] = (idx, "+")
+            out.append(Unitig(
+                seq=decode_nt4(u.seq), nsr=u.nsr,
+                cov="".join(chr(min(int(c), 92) + 33) for c in u.cov)))
+        # links from the final unitig graph (fml_ovlp_t analog)
+        for a, b, o in zip(usrc.tolist(), udst.tolist(),
+                           uolen.tolist()):
+            if a not in emit or b not in emit:
+                continue
+            ia, oa = emit[a]
+            ib, ob = emit[b]
+            out[ia].links.append((ia, oa, ib, ob, int(o)))
+        return out
 
-    # -- GFA export (parity: WriteGFA FermiAssembler.cpp:186-205) --------
+    # -- GFA export (parity: WriteGFA FermiAssembler.h:120-140) ----------
 
     def write_gfa(self, out) -> None:
+        """Reference-format GFA 1.0: S lines with LN/RC/PD tags; L
+        lines from the unitig graph's overlap records (printed once per
+        edge pair, from < to, like the reference's loop)."""
         out.write("H\tVN:Z:1.0\n")
         for i, u in enumerate(self.m_utgs):
-            out.write(f"S\tutg{i + 1}\t{u.seq}\tLN:i:{len(u.seq)}\t"
-                      f"KC:i:{u.nsr}\n")
-        # detect overlaps between unitig ends for L lines
-        mo = self.opt.min_asm_ovlp
-        for i, a in enumerate(self.m_utgs):
-            for j, b in enumerate(self.m_utgs):
-                if i == j:
-                    continue
-                for olen in range(min(len(a.seq), len(b.seq)) - 1, mo - 1,
-                                  -1):
-                    if a.seq[-olen:] == b.seq[:olen]:
-                        out.write(f"L\tutg{i + 1}\t+\tutg{j + 1}\t+\t"
-                                  f"{olen}M\n")
-                        break
+            out.write(f"S\t{i}\t{u.seq}\tLN:i:{len(u.seq)}\t"
+                      f"RC:i:{u.nsr}\tPD:Z:{u.cov}\n")
+            for fr, fo, to, too, o in u.links:
+                if fr < to:
+                    out.write(f"L\t{fr}\t{fo}\t{to}\t{too}\t{o}M\n")
 
     # reference-style aliases
     AddRead = add_read

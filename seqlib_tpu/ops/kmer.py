@@ -136,3 +136,167 @@ def lookup_kmers_device(keys_hi, keys_lo, counts, qhi, qlo):
     idx = jnp.minimum(lo_i, n - 1)
     hit = (kh[idx] == qh) & (kl[idx] == ql)
     return jnp.where(hit, counts[idx], 0).reshape(qhi.shape)
+
+
+def _roll_fwd(hi, lo, b, k: int):
+    """Append base b to a (hi, lo) k-mer (drop the oldest base)."""
+    mask_hi = jnp.uint32((1 << (2 * k - 32)) - 1) if k > 16 \
+        else jnp.uint32(0)
+    h = hi.astype(jnp.uint32)
+    l = lo.astype(jnp.uint32)
+    nh = ((h << 2) | (l >> 30)) & mask_hi
+    nl = (l << 2) | b.astype(jnp.uint32)
+    if k <= 16:
+        nh = jnp.zeros_like(nh)
+        nl = nl & jnp.uint32((1 << (2 * k)) - 1) if k < 16 else nl
+    return nh.astype(jnp.int32), nl.astype(jnp.int32)
+
+
+def _roll_bwd(hi, lo, b, k: int):
+    """Prepend base b to a (hi, lo) k-mer (drop the newest base)."""
+    h = hi.astype(jnp.uint32)
+    l = lo.astype(jnp.uint32)
+    nl = (l >> 2) | ((h & 3) << 30)
+    nh = h >> 2
+    bshift = 2 * (k - 1)
+    bu = b.astype(jnp.uint32)
+    if bshift >= 32:
+        nh = nh | (bu << (bshift - 32))
+    else:
+        nl = nl | (bu << bshift)
+        nh = jnp.zeros_like(nh)
+    return nh.astype(jnp.int32), nl.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "min_cov"))
+def correct_reads_device(reads: jax.Array, lens: jax.Array,
+                         keys_hi: jax.Array, keys_lo: jax.Array,
+                         counts: jax.Array, k: int, min_cov: int):
+    """Lockstep spectrum-walk error correction (BFC ``kmer_correct``
+    behavior class, /root/reference/src/BFC.cpp:282-362): from each
+    read's first solid k-mer window, walk right then left; at every
+    step where the extended k-mer is weak (< min_cov), substitute the
+    base whose extension is strongest, provided it is solid.
+
+    reads [B, L] nt4 codes (4 = N/pad); table from
+    ``count_kmers_device``.  Returns (corrected [B, L], n_changed [B]).
+    Reads with no solid window are returned unchanged.
+    """
+    B, L = reads.shape
+    n = L - k + 1
+    chi, clo, valid = canonical_kmers_device(reads, lens, k)
+    cnt0 = lookup_kmers_device(keys_hi, keys_lo, counts, chi, clo)
+    solid0 = (cnt0 >= min_cov) & valid
+    has_anchor = jnp.any(solid0, axis=1)
+    a = jnp.argmax(solid0, axis=1).astype(jnp.int32)     # first solid
+    codes = jnp.where(reads < 4, reads, 4).astype(jnp.int32)
+    lens_i = lens.astype(jnp.int32)
+
+    def lookup4(c_hi, c_lo):
+        return lookup_kmers_device(keys_hi, keys_lo, counts, c_hi, c_lo)
+
+    # ---- forward walk --------------------------------------------------
+    # state: (codes, fwd_hi, fwd_lo, rc_hi, rc_lo, nchg); the fwd k-mer
+    # covers [p-k+1, p+1) after step p, rc is its reverse complement.
+    def fwd_body(p, st):
+        codes, fh, fl, rh, rl, nchg = st
+        in_read = p < lens_i
+        correcting = has_anchor & (p >= a + k) & in_read
+        orig = codes[:, p]
+        origc = jnp.minimum(orig, 3)
+        # candidate k-mers for all 4 bases: roll fwd, roll rc bwd
+        ch_, cl_ = jax.vmap(
+            lambda b: _roll_fwd(fh, fl, jnp.full((B,), b, jnp.uint32), k),
+            out_axes=1)(jnp.arange(4, dtype=jnp.uint32))
+        rbh, rbl = jax.vmap(
+            lambda b: _roll_bwd(rh, rl, jnp.full((B,), 3 - b, jnp.uint32),
+                                k),
+            out_axes=1)(jnp.arange(4, dtype=jnp.uint32))
+        # canonical = lexicographic min of (fwd, rc)
+        fu_h, fu_l = ch_.astype(jnp.uint32), cl_.astype(jnp.uint32)
+        ru_h, ru_l = rbh.astype(jnp.uint32), rbl.astype(jnp.uint32)
+        take_r = (ru_h < fu_h) | ((ru_h == fu_h) & (ru_l < fu_l))
+        can_h = jnp.where(take_r, rbh, ch_)
+        can_l = jnp.where(take_r, rbl, cl_)
+        cnt = lookup4(can_h, can_l)                       # [B, 4]
+        cnt_orig = jnp.take_along_axis(
+            cnt, origc[:, None], axis=1)[:, 0]
+        orig_solid = (cnt_orig >= min_cov) & (orig < 4)
+        best_b = jnp.argmax(cnt, axis=1).astype(jnp.int32)
+        best_cnt = jnp.max(cnt, axis=1)
+        sub = correcting & ~orig_solid & (best_cnt >= min_cov) \
+            & ((best_b != origc) | (orig == 4))
+        chosen = jnp.where(sub, best_b, orig)
+        new_col = jnp.where(correcting, chosen, orig)
+        codes = codes.at[:, p].set(jnp.where(in_read, new_col,
+                                             codes[:, p]))
+        nchg = nchg + sub.astype(jnp.int32)
+        # roll state with the walked base (clamped for Ns)
+        walk = jnp.minimum(new_col, 3).astype(jnp.uint32)
+        nfh, nfl = _roll_fwd(fh, fl, walk, k)
+        nrh, nrl = _roll_bwd(rh, rl, (3 - walk), k)
+        upd = in_read
+        fh = jnp.where(upd, nfh, fh); fl = jnp.where(upd, nfl, fl)
+        rh = jnp.where(upd, nrh, rh); rl = jnp.where(upd, nrl, rl)
+        return (codes, fh, fl, rh, rl, nchg)
+
+    z = jnp.zeros(B, jnp.int32)
+    codes, _, _, _, _, nchg = jax.lax.fori_loop(
+        0, L, fwd_body, (codes, z, z, z, z, z))
+
+    # ---- backward walk -------------------------------------------------
+    # state k-mer covers [p+1, p+k+1) before step p; candidates prepend.
+    def bwd_body(s, st):
+        codes, fh, fl, rh, rl, nchg = st
+        p = L - 1 - s
+        in_read = p < lens_i
+        state_ok = (p + k) < lens_i       # state window fully in read
+        correcting = has_anchor & (p < a) & in_read & state_ok
+        orig = codes[:, p]
+        origc = jnp.minimum(orig, 3)
+        ch_, cl_ = jax.vmap(
+            lambda b: _roll_bwd(fh, fl, jnp.full((B,), b, jnp.uint32), k),
+            out_axes=1)(jnp.arange(4, dtype=jnp.uint32))
+        rbh, rbl = jax.vmap(
+            lambda b: _roll_fwd(rh, rl, jnp.full((B,), 3 - b, jnp.uint32),
+                                k),
+            out_axes=1)(jnp.arange(4, dtype=jnp.uint32))
+        fu_h, fu_l = ch_.astype(jnp.uint32), cl_.astype(jnp.uint32)
+        ru_h, ru_l = rbh.astype(jnp.uint32), rbl.astype(jnp.uint32)
+        take_r = (ru_h < fu_h) | ((ru_h == fu_h) & (ru_l < fu_l))
+        can_h = jnp.where(take_r, rbh, ch_)
+        can_l = jnp.where(take_r, rbl, cl_)
+        cnt = lookup4(can_h, can_l)
+        cnt_orig = jnp.take_along_axis(
+            cnt, origc[:, None], axis=1)[:, 0]
+        orig_solid = (cnt_orig >= min_cov) & (orig < 4)
+        best_b = jnp.argmax(cnt, axis=1).astype(jnp.int32)
+        best_cnt = jnp.max(cnt, axis=1)
+        sub = correcting & ~orig_solid & (best_cnt >= min_cov) \
+            & ((best_b != origc) | (orig == 4))
+        chosen = jnp.where(sub, best_b, orig)
+        new_col = jnp.where(correcting, chosen, orig)
+        codes = codes.at[:, p].set(jnp.where(in_read, new_col,
+                                             codes[:, p]))
+        nchg = nchg + sub.astype(jnp.int32)
+        walk = jnp.minimum(new_col, 3).astype(jnp.uint32)
+        nfh, nfl = _roll_bwd(fh, fl, walk, k)
+        nrh, nrl = _roll_fwd(rh, rl, (3 - walk), k)
+        fh = jnp.where(in_read, nfh, fh); fl = jnp.where(in_read, nfl, fl)
+        rh = jnp.where(in_read, nrh, rh); rl = jnp.where(in_read, nrl, rl)
+        return (codes, fh, fl, rh, rl, nchg)
+
+    codes, _, _, _, _, nchg = jax.lax.fori_loop(
+        0, L, bwd_body, (codes, z, z, z, z, nchg))
+    return codes.astype(jnp.uint8), nchg
+
+
+@functools.partial(jax.jit, static_argnames=("k", "min_cov"))
+def weak_reads_device(reads: jax.Array, lens: jax.Array,
+                      keys_hi: jax.Array, keys_lo: jax.Array,
+                      counts: jax.Array, k: int, min_cov: int):
+    """[B] bool: read has at least one weak (count < min_cov) valid
+    k-mer window — the cheap pre-scan that gates the walk."""
+    chi, clo, valid = canonical_kmers_device(reads, lens, k)
+    cnt = lookup_kmers_device(keys_hi, keys_lo, counts, chi, clo)
+    return jnp.any(valid & (cnt < min_cov), axis=1)

@@ -172,4 +172,35 @@ def test_gfa_export(region):
     assert len(s_lines) == len(f.get_contigs())
     for l in s_lines:
         parts = l.split("\t")
-        assert parts[2] == f.get_contigs()[int(parts[1][3:]) - 1]
+        # reference WriteGFA format: S <id> <seq> LN:i: RC:i: PD:Z:
+        assert parts[2] == f.get_contigs()[int(parts[1])]
+        assert parts[3] == f"LN:i:{len(parts[2])}"
+        assert parts[4].startswith("RC:i:")
+        assert parts[5].startswith("PD:Z:")
+
+
+def test_config3_scale_one_contig():
+    """BASELINE config 3 analog (scaled to CI): BFC-correct + assemble
+    simulated reads over a 50 kb region; the device k-mer pipeline +
+    sort-join string graph must reconstruct the region as essentially
+    ONE exact-substring contig."""
+    from seqlib_tpu.io import FastqReader
+    fa = FastqReader("/root/reference/tests/data/tiny.fa")
+    tiny = [(s.name, s.seq) for s in fa]
+    region = (tiny[0][1] + tiny[1][1])[:50000]
+    r1, r2 = simulate_pairs([("r", region)], 5000, read_len=150,
+                            error_rate=0.005, seed=7)
+    reads = [u.seq for u in r1] + [u.seq for u in r2]
+    b = BFC()
+    for s in reads:
+        b.add_sequence(s)
+    b.train()
+    b.error_correct()
+    f = FermiAssembler()
+    f.add_reads([UnalignedSequence(f"r{i}", s)
+                 for i, s in enumerate(b.m_seqs)])
+    f.perform_assembly()
+    ctgs = sorted(f.get_contigs(), key=len, reverse=True)
+    assert len(ctgs) <= 3
+    assert len(ctgs[0]) >= 0.95 * len(region)
+    assert ctgs[0] in region or revcomp(ctgs[0]) in region
