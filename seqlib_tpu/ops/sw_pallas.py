@@ -1,21 +1,33 @@
-"""Pallas TPU kernel for the affine-gap extension DP.
+"""Pallas TPU kernel for the affine-gap extension DP (v2).
 
 Same contract as ops.sw.extend_batch, but the whole row loop runs
-inside one Mosaic kernel with DP state resident in VMEM:
+inside one Mosaic kernel with DP state resident in VMEM.
 
-* grid over batch tiles (BT pairs per program, target axis in lanes),
-* per-row work is elementwise VPU math + a log2(TW) shift-max scan
-  (pltpu.roll) for the same-row E dependency,
-* packed (score, row) running maxima; cross-lane argmax reductions
-  happen once at the end.
+v2 design (the v1 lessons are in git history — v1 kept the batch in
+sublanes and did a masked O(LQ) query select per row, landing at
+12.5 Gcells/s vs XLA's 17; v2 fixes both):
 
-Status (v5e measurements, chained-iteration on-device timing):
-XLA extend_batch sustains 17 Gcells/s; this kernel reaches 12.5 at
-BT=64 (2.2 at BT=8) — the per-row masked column select and the
-roll-based scan don't yet beat XLA's fused loop body, so production
-uses the XLA path and this kernel remains the substrate for further
-Mosaic tuning (int16 state, transposed query loads, two-row
-unrolling).  Bit-exact vs extend_batch on TPU and in interpret mode.
+* TRANSPOSED layout [TW, B]: the batch rides the 128 LANES, the
+  target axis rides sublanes.  Selecting query character i is then a
+  dynamic SUBLANE index into the [LQ, B] query block — one cheap
+  slice per row instead of v1's masked O(LQ) reduction per row
+  (which made the whole kernel O(LQ^2)).
+* int16 DP state: scores of bwa-scale extensions fit comfortably in
+  int16 (reads <= 1024 bp, |score| < 8k), and (16, 128) int16 tiles
+  double VPU throughput over int32.  Only the one-time final
+  reductions pack into int32.
+* the same-row E dependency uses the running-max trick: one log2(TW)
+  shift-max scan per row along sublanes (pltpu.roll axis 0) with the
+  step masks hoisted out of the row loop.
+* per-column best (score, row) kept as two int16 planes, merged into
+  packed int32 once after the loop; cross-column reductions happen
+  once.
+* optional zdrop (ksw_extend's row-loop break) adds one sublane
+  max+argmin reduction per row, matching ops.sw.extend_batch's
+  semantics lane-for-lane.
+
+Replaces the inner loop of the reference's ``mem_align1`` extension
+stage (ksw_extend, /root/reference/src/BWAAligner.cpp:104-109).
 """
 
 from __future__ import annotations
@@ -27,130 +39,162 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sw import NEG, _PACK_BIAS, _PACK_SHIFT
-
-BT = 64  # batch tile (sublanes per program)
-
-
-def _shift_right_max(g: jax.Array, TW1: int) -> jax.Array:
-    """Running max over j' <= j (inclusive scan) via log-step shifts."""
-    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    s = 1
-    while s < TW1:
-        rolled = pltpu.roll(g, shift=s, axis=1)
-        rolled = jnp.where(col >= s, rolled, NEG)
-        g = jnp.maximum(g, rolled)
-        s *= 2
-    return g
+BL = 128          # batch lanes per program
+NEG16 = -16384    # -inf surrogate that survives int16 adds
 
 
 def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
                    score_ref, qle_ref, tle_ref, gscore_ref, gtle_ref,
-                   *, LQ: int, TW1: int, o_del: int, e_del: int,
-                   o_ins: int, e_ins: int, match: int, mismatch: int):
-    q = q_ref[:].astype(jnp.int32)            # [BT, LQ]
-    q_col = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
-    tt = t_ref[:].astype(jnp.int32)           # [BT, TW1-1]
-    ql = ql_ref[:].astype(jnp.int32)          # [BT, 1]
-    tl = tl_ref[:].astype(jnp.int32)
-    h0 = h0_ref[:].astype(jnp.int32)
+                   *, LQ: int, TW: int, o_del: int, e_del: int,
+                   o_ins: int, e_ins: int, match: int, mismatch: int,
+                   zdrop: int):
+    i16 = jnp.int16
+    tt = t_ref[:]                                  # [TW, BL] int16 (row j-1)
+    ql = ql_ref[:]                                 # [1, BL] int32
+    tl = tl_ref[:]
+    h0 = h0_ref[:].astype(i16)
 
-    bt = q_ref.shape[0]
-    jt = jax.lax.broadcasted_iota(jnp.int32, (bt, TW1), 1)
-    tmask = jt <= tl
-    h_row0 = h0 - jnp.where(jt > 0, o_del + e_del * jt, 0)
-    h_row0 = jnp.where((h_row0 < 0) & (jt > 0), NEG, h_row0)
-    h_row0 = jnp.where(tmask, h_row0, NEG)
+    jt32 = jax.lax.broadcasted_iota(jnp.int32, (TW, BL), 0)
+    jt = jt32.astype(i16)
+    tmask = jt32 <= tl                             # [TW, BL]
+    neg = jnp.full((TW, BL), NEG16, i16)
 
-    ecoef = e_del * jt
+    # row 0 boundary: H(0,j) = h0 - (o_del + e_del*j); dead cells NEG
+    h_row0 = h0 - jnp.int16(o_del) - jnp.int16(e_del) * jt
+    h_row0 = jnp.where(h_row0 < 0, neg, h_row0)
+    h_row0 = jnp.where(jt32 == 0, h0, h_row0)
+    h_row0 = jnp.where(tmask, h_row0, neg)
+
+    # hoisted scan masks: step s valid where j >= s
+    n_steps = max(TW - 1, 1).bit_length()
+    ecoef = jnp.int16(e_del) * jt
 
     def body(i, st):
-        h_prev, f_prev, best_pack, g_row = st
-        # select query column i (Mosaic lane slices must be 128-aligned,
-        # so use a masked reduction instead of a dynamic slice)
-        qi = jnp.max(jnp.where(q_col == i, q, 0), axis=1,
-                     keepdims=True)                           # [BT, 1]
+        h_prev, f_prev, bscore, brow, g_row, zstate = st
+        zbest, zbi, zbj, stopped = zstate
+        qi = q_ref[pl.ds(i, 1), :]                 # [1, BL]
         is_match = (tt == qi) & (tt < 4) & (qi < 4)
-        sub = jnp.where(is_match, match, -mismatch)           # [BT, TW1-1]
-        M = h_prev[:, :-1] + sub
-        F = jnp.maximum(h_prev - (o_ins + e_ins), f_prev - e_ins)
-        hnd = jnp.concatenate(
-            [jnp.maximum(F[:, :1], NEG), jnp.maximum(M, F[:, 1:])],
-            axis=1)
+        sub = jnp.where(is_match, jnp.int16(match), jnp.int16(-mismatch))
+        # M(j) = h_prev(j-1) + sub(j): shift h_prev down one sublane
+        h_up = pltpu.roll(h_prev, shift=1, axis=0)
+        h_up = jnp.where(jt32 >= 1, h_up, neg)
+        M = h_up + sub
+        F = jnp.maximum(h_prev - jnp.int16(o_ins + e_ins),
+                        f_prev - jnp.int16(e_ins))
+        hnd = jnp.where(jt32 >= 1, jnp.maximum(M, F), F)
+        hnd = jnp.maximum(hnd, neg)
         # E(j) = max_{j'<j}(hnd(j') + e*j') - o - e*j
-        g = _shift_right_max(hnd + ecoef, TW1)
-        g_shift = pltpu.roll(g, shift=1, axis=1)
-        g_shift = jnp.where(jt >= 1, g_shift, NEG)
-        E = g_shift - o_del - ecoef
+        g = hnd + ecoef
+        s = 1
+        for _ in range(n_steps):
+            rolled = pltpu.roll(g, shift=s, axis=0)
+            g = jnp.maximum(g, jnp.where(jt32 >= s, rolled, neg))
+            s *= 2
+        g1 = pltpu.roll(g, shift=1, axis=0)
+        E = jnp.where(jt32 >= 1, g1, neg) - jnp.int16(o_del) - ecoef
         h = jnp.maximum(hnd, E)
-        h = jnp.where(tmask, h, NEG)
-        active = i < ql                                       # [BT, 1]
-        h = jnp.where(active, h, h_prev)
-        f = jnp.where(active, F, f_prev)
-        hp = jnp.where(active & (jt > 0), jnp.maximum(h, -1), -1)
-        pack = (hp + _PACK_BIAS) * (1 << _PACK_SHIFT) + (4095 - i)
-        best_pack = jnp.maximum(best_pack, pack)
-        g_row = jnp.where((i == ql - 1), h, g_row)
-        return (h, f, best_pack, g_row)
+        h = jnp.where(tmask, h, neg)
+        act32 = (i < ql) & ~stopped                # [1, BL] bool
+        h = jnp.where(act32, h, h_prev)
+        f = jnp.where(act32, F, f_prev)
+        # per-column running best (strictly greater keeps earliest row)
+        hcl = jnp.where(act32 & (jt32 > 0), jnp.maximum(h, -1),
+                        jnp.int16(-1))
+        better = hcl > bscore
+        bscore = jnp.where(better, hcl, bscore)
+        brow = jnp.where(better, jnp.int16(0) + i.astype(i16), brow)
+        g_row = jnp.where(act32 & (i == ql - 1), h, g_row)
+        if zdrop > 0:
+            m = jnp.max(hcl, axis=0, keepdims=True)          # [1, BL]
+            mj = jnp.min(jnp.where(hcl == m, jt32, 0x7FFF),
+                         axis=0, keepdims=True)
+            m32 = m.astype(jnp.int32)
+            better_z = m32 > zbest
+            di = i - zbi
+            dj = mj - zbj
+            gap = jnp.abs(di - dj)
+            pen = jnp.where(di > dj, e_del, e_ins) * gap
+            zstop = act32 & ~better_z & (zbest - m32 - pen > zdrop)
+            stopped = stopped | zstop | (act32 & (m32 <= 0))
+            zbest = jnp.where(act32 & better_z, m32, zbest)
+            zbi = jnp.where(act32 & better_z, i, zbi)
+            zbj = jnp.where(act32 & better_z, mj, zbj)
+        return (h, f, bscore, brow, g_row, (zbest, zbi, zbj, stopped))
 
-    neg = jnp.full((bt, TW1), NEG, jnp.int32)
-    h, f, best_pack, g_row = jax.lax.fori_loop(
-        0, LQ, body, (h_row0, neg, neg, neg))
+    zero1 = jnp.zeros((1, BL), jnp.int32)
+    zinit = (h0_ref[:].astype(jnp.int32), zero1, zero1,
+             jnp.zeros((1, BL), bool))
+    init = (h_row0, neg, jnp.full((TW, BL), -1, i16), jnp.zeros((TW, BL),
+            i16), neg, zinit)
+    h, f, bscore, brow, g_row, _ = jax.lax.fori_loop(0, LQ, body, init)
 
+    # one-time packed reductions (int32)
     BIG = jnp.int32(0x7FFFFFFF)
-    col_best = jnp.max(best_pack, axis=1, keepdims=True)
-    # first column holding the max (Mosaic has no int argmax)
-    btle = jnp.min(jnp.where(best_pack == col_best, jt, BIG), axis=1,
+    pack = ((bscore.astype(jnp.int32) + 2) << 12) \
+        + (4095 - brow.astype(jnp.int32))
+    colmax = jnp.max(pack, axis=0, keepdims=True)            # [1, BL]
+    btle = jnp.min(jnp.where(pack == colmax, jt32, BIG), axis=0,
                    keepdims=True)
-    score = col_best // (1 << _PACK_SHIFT) - _PACK_BIAS
-    bqle = 4095 - (col_best % (1 << _PACK_SHIFT)) + 1
+    score = (colmax >> 12) - 2
+    bqle = 4095 - (colmax & 0xFFF) + 1
     found = score > 0
     score_ref[:] = jnp.where(found, score, 0)
     qle_ref[:] = jnp.where(found, bqle, 0)
     tle_ref[:] = jnp.where(found, btle, 0)
-    gbest = jnp.max(g_row, axis=1, keepdims=True)
-    gscore_ref[:] = gbest
-    gtle_ref[:] = jnp.min(jnp.where(g_row == gbest, jt, BIG), axis=1,
+    g32 = g_row.astype(jnp.int32)
+    gbest = jnp.max(g32, axis=0, keepdims=True)
+    gscore_ref[:] = jnp.where(gbest <= NEG16, jnp.int32(-0x40000000),
+                              gbest)
+    gtle_ref[:] = jnp.min(jnp.where(g32 == gbest, jt32, BIG), axis=0,
                           keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
                                              "e_ins", "match", "mismatch",
-                                             "interpret"))
+                                             "zdrop", "interpret"))
 def extend_batch_pallas(query, qlen, target, tlen, h0,
                         o_del: int = 6, e_del: int = 1,
                         o_ins: int = 6, e_ins: int = 1,
                         match: int = 1, mismatch: int = 4,
+                        zdrop: int = 0,
                         interpret: bool = False):
     """Pallas drop-in for ops.sw.extend_batch (same outputs)."""
     B, LQ = query.shape
     _, LT = target.shape
-    TW1 = ((LT + 1 + 127) // 128) * 128
-    Bp = ((B + BT - 1) // BT) * BT
-    qp = jnp.zeros((Bp, LQ), jnp.int32).at[:B].set(
-        query.astype(jnp.int32))
-    tp = jnp.full((Bp, TW1 - 1), 4, jnp.int32).at[:B, :LT].set(
-        target.astype(jnp.int32))
-    qlp = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(
+    TW = ((LT + 1 + 7) // 8) * 8           # sublane axis: mult of 8
+    Bp = ((B + BL - 1) // BL) * BL
+    # transposed operands: [LQ, B] query, [TW, B] target (row j = base
+    # j-1 so DP column j matches), pads hold 4 (N)
+    qp = jnp.full((LQ, Bp), 4, jnp.int16).at[:, :B].set(
+        query.astype(jnp.int16).T)
+    tp = jnp.full((TW, Bp), 4, jnp.int16).at[1:LT + 1, :B].set(
+        target.astype(jnp.int16).T)
+    qlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(
         qlen.astype(jnp.int32))
-    tlp = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(
+    tlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(
         tlen.astype(jnp.int32))
-    h0p = jnp.zeros((Bp, 1), jnp.int32).at[:B, 0].set(
+    h0p = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(
         h0.astype(jnp.int32))
 
     kern = functools.partial(
-        _extend_kernel, LQ=LQ, TW1=TW1, o_del=o_del, e_del=e_del,
-        o_ins=o_ins, e_ins=e_ins, match=match, mismatch=mismatch)
-    grid = (Bp // BT,)
-    bspec = lambda w: pl.BlockSpec((BT, w), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)
+        _extend_kernel, LQ=LQ, TW=TW, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, match=match, mismatch=mismatch,
+        zdrop=zdrop)
+    grid = (Bp // BL,)
+
+    def bspec(rows, dt):
+        return pl.BlockSpec((rows, BL), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bspec(LQ), bspec(1), bspec(TW1 - 1), bspec(1), bspec(1)],
-        out_specs=[bspec(1)] * 5,
-        out_shape=[jax.ShapeDtypeStruct((Bp, 1), jnp.int32)] * 5,
+        in_specs=[bspec(LQ, jnp.int16), bspec(1, jnp.int32),
+                  bspec(TW, jnp.int16), bspec(1, jnp.int32),
+                  bspec(1, jnp.int32)],
+        out_specs=[bspec(1, jnp.int32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((1, Bp), jnp.int32)] * 5,
         interpret=interpret,
     )(qp, qlp, tp, tlp, h0p)
-    score, qle, tle, gscore, gtle = [o[:B, 0] for o in out]
+    score, qle, tle, gscore, gtle = [o[0, :B] for o in out]
     return dict(score=score, qle=qle, tle=tle, gscore=gscore, gtle=gtle)

@@ -360,3 +360,31 @@ def test_extend_zdrop_zero_disables():
                         jnp.ones(4, jnp.int32), zdrop=100)
     for k in ("score", "qle", "tle", "gscore", "gtle"):
         assert (np.asarray(out0[k]) == np.asarray(outz[k])).all()
+
+
+def test_pallas_extend_zdrop_parity(sw_pairs):
+    """v2 kernel matches extend_batch's zdrop lane freezing exactly."""
+    import jax.numpy as jnp
+    from seqlib_tpu.ops.sw_pallas import extend_batch_pallas
+    rng = np.random.default_rng(5)
+    B, Lq, Lt = 96, 120, 140
+    qs = rng.integers(0, 4, (B, Lq)).astype(np.int8)
+    ts = rng.integers(0, 4, (B, Lt)).astype(np.int8)
+    for i in range(0, B, 2):
+        ts[i, :Lq] = qs[i]
+        ts[i, 40:90] = (ts[i, 40:90] + 1) % 4     # mid-desert
+    ql = np.full(B, Lq, np.int32)
+    tl = np.full(B, Lt, np.int32)
+    h0 = np.full(B, 12, np.int32)
+    ref = extend_batch(jnp.asarray(qs), jnp.asarray(ql), jnp.asarray(ts),
+                       jnp.asarray(tl), jnp.asarray(h0), zdrop=100)
+    got = extend_batch_pallas(jnp.asarray(qs), jnp.asarray(ql),
+                              jnp.asarray(ts), jnp.asarray(tl),
+                              jnp.asarray(h0), zdrop=100, interpret=True)
+    for k in ref:
+        r, g = np.asarray(ref[k]), np.asarray(got[k])
+        if k == "gscore":   # NEG sentinels compare as "both dead"
+            dead = (r < -16000) & (g < -16000)
+            assert ((r == g) | dead).all()
+        else:
+            assert np.array_equal(r, g), k
