@@ -144,8 +144,18 @@ class BWAAligner:
         self.text = both_strands(index.ref.codes)      # host 2L codes
         self.text_j = jnp.asarray(self.text)
         self._copy_comment = False
+        # truncation telemetry: fixed-shape device caps are counted
+        # and surfaced instead of silently losing alignments
+        # (VERDICT r1 "silent truncation"); see docs/COMPONENTS.md
+        self.stats = dict(seeds_at_cap=0, occ_clipped=0,
+                          chains_at_cap=0, regs_truncated=0,
+                          regions_widened=0, regions_dropped_wide=0)
         if mesh is not None:
             self._build_sharded_stages()
+
+    def reset_stats(self):
+        for k in self.stats:
+            self.stats[k] = 0
 
     def _build_sharded_stages(self):
         """Wrap the three device stages in shard_map over the dp axis.
@@ -175,7 +185,8 @@ class BWAAligner:
                 w=opt.w, zdrop=opt.zdrop)
         fused_out = dict(qb=dp2, qe=dp2, rb=dp2, re=dp2, score=dp2,
                          weight=dp2, keep=dp2, rep_cov=dp1, n_dp=dp1,
-                         anchor_q=dp2, anchor_len=dp2, anchor_r=dp2)
+                         anchor_q=dp2, anchor_len=dp2, anchor_r=dp2,
+                         occ_clip=dp1, seeds_full=dp1, n_seg=dp1)
         self._sh_fused = jax.jit(jax.shard_map(
             fused_fn, mesh=mesh, in_specs=(dp2, dp1),
             out_specs=fused_out, check_vma=False))
@@ -258,6 +269,11 @@ class BWAAligner:
             qb, qe, rb, re, score = self._extend_uncompacted(
                 enc, lens, out)
 
+        self.stats["seeds_at_cap"] += int(
+            np.sum(out["seeds_full"][:B]))
+        self.stats["occ_clipped"] += int(np.sum(out["occ_clip"][:B]))
+        self.stats["chains_at_cap"] += int(
+            np.sum(out["n_seg"][:B] > MAX_CHAINS))
         regions: list[list[AlnReg]] = [[] for _ in range(B)]
         for b, c in zip(*np.nonzero(keep)):
             regions[b].append(AlnReg(
@@ -356,6 +372,8 @@ class BWAAligner:
                         break
             if not placed:
                 kept.append(i)
+        if len(out) > MAX_REGS:
+            self.stats["regs_truncated"] += 1
         return out[:MAX_REGS]
 
     # ------------------------------------------------------------------
@@ -402,15 +420,24 @@ class BWAAligner:
         hits_per_read: list[list[dict]] = [[] for _ in range(len(regions))]
         if not flat:
             return hits_per_read
-        # static shapes: query bucket = read length; target slack covers
-        # deletions up to 128 bp (bwa's band w admits up to w-gaps, but
-        # spans beyond L+128 are vanishingly rare — such regions fall
-        # back to being dropped; see ROADMAP)
+        # static shapes: query bucket = read length; target slack
+        # covers deletions up to 128 bp in the narrow bucket.  Regions
+        # with a larger reference span (long deletions) go through a
+        # WIDE bucket (up to +512 bp); only spans beyond that are
+        # dropped — and counted, never silent.
         Lq = enc.shape[1]
         Lt = enc.shape[1] + min(2 * opt.w, 128)
-        # regions larger than the padded window would misalign: clamp
-        flat = [(b, r) for b, r in flat
-                if r.qe - r.qb <= Lq and r.re - r.rb <= Lt]
+        Lt_wide = enc.shape[1] + 512
+        kept = []
+        for b, r in flat:
+            span_t = r.re - r.rb
+            if r.qe - r.qb <= Lq and span_t <= Lt_wide:
+                kept.append((b, r))
+                if span_t > Lt:
+                    self.stats["regions_widened"] += 1
+            else:
+                self.stats["regions_dropped_wide"] += 1
+        flat = kept
         if not flat:
             return hits_per_read
         # fast path: a region whose extension score equals span*a with
@@ -425,17 +452,22 @@ class BWAAligner:
                     and np.array_equal(enc[b, r.qb:r.qe],
                                        self.text[r.rb:r.re])):
                 perfect[m] = True
-        dev_rows = np.flatnonzero(~perfect)
         cigars: dict[int, list[tuple[str, int]]] = {}
         nms_by_row: dict[int, int] = {}
         for m in np.flatnonzero(perfect):
             b, r = flat[m]
             cigars[m] = [("M", r.qe - r.qb)]
             nms_by_row[m] = 0
-        if dev_rows.size:
+        spans = np.array([r.re - r.rb for _, r in flat], np.int64)
+        narrow = np.flatnonzero(~perfect & (spans <= Lt))
+        wide = np.flatnonzero(~perfect & (spans > Lt))
+        for dev_rows, width, wide_band in ((narrow, Lt, False),
+                                           (wide, Lt_wide, True)):
+            if not dev_rows.size:
+                continue
             M = _bucket(dev_rows.size)
             q = np.full((M, Lq), 4, np.uint8)
-            t = np.full((M, Lt), 4, np.uint8)
+            t = np.full((M, width), 4, np.uint8)
             ql = np.zeros(M, np.int32)
             tl = np.zeros(M, np.int32)
             for k, m in enumerate(dev_rows):
@@ -444,7 +476,8 @@ class BWAAligner:
                 tl[k] = r.re - r.rb
                 q[k, :ql[k]] = enc[b, r.qb:r.qe]
                 t[k, :tl[k]] = self.text[r.rb:r.re]
-            if self.mesh is not None:
+            band = (Lt_wide + 8) if wide_band else (2 * opt.w + 8)
+            if self.mesh is not None and not wide_band:
                 res = self._sh_global(jnp.asarray(q), jnp.asarray(ql),
                                       jnp.asarray(t), jnp.asarray(tl))
             else:
@@ -453,7 +486,7 @@ class BWAAligner:
                     jnp.asarray(tl),
                     o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
                     e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
-                    band=2 * opt.w + 8)
+                    band=band)
             score, packed, nms = jax.device_get(res)
             dev_cigs = _ops_to_cigars_batch(
                 _unpack_ops(np.asarray(packed)), dev_rows.size)

@@ -82,8 +82,15 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
     ranks = jnp.where(occ_valid, ranks, -1).astype(jnp.int32)
     pos = sa_lookup(fm, ranks.reshape(-1)).reshape(B, S1, k_occ)
     rep_cov = jnp.sum(jnp.where(repetitive, qe_s - qb_s, 0), axis=1)
+    # truncation telemetry (VERDICT: no silent caps): occurrences per
+    # seed beyond k_occ, and reads whose seed scan saturated max_seeds
+    occ_clip = jnp.sum(jnp.where(valid_all,
+                                 jnp.maximum(sz_all - k_occ, 0), 0),
+                       axis=1)
+    seeds_full = (n >= max_seeds).astype(jnp.int32)
     # only what the host chaining needs crosses the link
-    return dict(qbeg=qb_all, qend=qe_all, pos=pos, rep_cov=rep_cov)
+    return dict(qbeg=qb_all, qend=qe_all, pos=pos, rep_cov=rep_cov,
+                occ_clip=occ_clip, seeds_full=seeds_full)
 
 
 def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
@@ -206,6 +213,7 @@ def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
 
     # per-read top-C by (weight desc, segment order asc); last-element
     # index is monotone in segment index, so it is the tiebreaker
+    n_seg = jnp.sum((weight >= 0).astype(jnp.int32), axis=1)     # [B]
     pk = jnp.where(weight >= 0, weight * 512 + (511 - n_idx), -1)
     _, top = jax.lax.top_k(pk, max_chains)                       # [B, C]
     w_c = jnp.take_along_axis(weight, top, axis=1)               # [B, C]
@@ -220,7 +228,8 @@ def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
     return dict(anchor_q=jnp.where(keep, a_qb, 0),
                 anchor_len=jnp.where(keep, a_len, 0),
                 anchor_r=jnp.where(keep, a_pos, 0),
-                weight=jnp.where(keep, w_c, 0), keep=keep)
+                weight=jnp.where(keep, w_c, 0), keep=keep,
+                n_seg=n_seg)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -305,7 +314,9 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
     score = pick(dscore, alen * match)
     return dict(qb=qb, qe=qe, rb=rb, re=re, score=score,
                 weight=ch["weight"], keep=keep, rep_cov=s1["rep_cov"],
-                n_dp=n_dp, anchor_q=aq, anchor_len=alen, anchor_r=ar)
+                n_dp=n_dp, anchor_q=aq, anchor_len=alen, anchor_r=ar,
+                occ_clip=s1["occ_clip"], seeds_full=s1["seeds_full"],
+                n_seg=ch["n_seg"])
 
 
 @functools.partial(jax.jit, static_argnames=(

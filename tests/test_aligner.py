@@ -410,3 +410,47 @@ def test_min_output_score_T(aligner, tiny_seqs):
     aln2.options.T = 20
     recs = aln2.align_sequence(frag, "short")
     assert recs and recs[0].pos == 1000
+
+
+def test_truncation_stress_repeat_and_long_deletion():
+    """VERDICT r1 'silent truncation' stress: (a) a read from a
+    ~400-occurrence repeat (within bwa's max_occ=500) must produce a
+    mapq-0 record, with the clipped occurrence count surfaced in
+    aligner.stats; (b) with a widened band, a 200 bp deletion must
+    yield ONE through-deletion CIGAR via the wide global bucket, not
+    silence."""
+    import numpy as np
+    from seqlib_tpu.align import BWAAligner
+    from seqlib_tpu.index import FMIndex
+    rng = np.random.default_rng(42)
+    bases = "ACGT"
+    unit = "".join(rng.choice(list(bases), 150))
+    # 200 DISPERSED copies (random spacers -> distinct chain diagonals)
+    parts = []
+    for _ in range(200):
+        parts.append(unit)
+        parts.append("".join(rng.choice(list(bases), 50)))
+    ref = "".join(parts)
+    aln = BWAAligner(FMIndex.construct([("rep", ref)]))
+    read = unit[10:130]               # 120 bp inside every copy
+    recs = aln.align_sequence(read, "rep_read")
+    prim = [r for r in recs if not (r.flag & 0x100)]
+    assert prim, "repeat read silently lost"
+    assert prim[0].mapq == 0          # ~400 equal loci -> ambiguous
+    assert aln.stats["occ_clipped"] > 0
+
+    # long deletion: 250 bp arms so bridging the 200 bp gap (cost
+    # o_del + 200*e_del = 206) beats clipping; needs the widened band
+    # and the WIDE global bucket (target span 700 > Lq + 128)
+    a = "".join(rng.choice(list(bases), 400))
+    d = "".join(rng.choice(list(bases), 200))
+    b = "".join(rng.choice(list(bases), 400))
+    idx2 = FMIndex.construct([("del", a + d + b)])
+    aln2 = BWAAligner(idx2)
+    aln2.set_bandwidth(300)
+    read2 = a[-250:] + b[:250]
+    recs2 = aln2.align_sequence(read2, "del_read")
+    assert recs2, "deletion read silently lost"
+    cig = str(recs2[0].cigar)
+    assert "200D" in cig, cig
+    assert aln2.stats["regions_widened"] > 0
