@@ -58,6 +58,10 @@ class ShardedBWAAligner(BWAAligner):
         self.options = options or AlignerOptions()
         self.mesh = None
         self._copy_comment = False
+        # merged view over per-shard sub-aligner counters
+        self.stats = dict(seeds_at_cap=0, occ_clipped=0,
+                          chains_at_cap=0, regs_truncated=0,
+                          regions_widened=0, regions_dropped_wide=0)
         self.devices = devices
         self.subs: list[BWAAligner] = []
         for s, fmi in enumerate(index.shards):
