@@ -79,7 +79,7 @@ def test_graft_dryrun_multichip():
     spec.loader.exec_module(mod)
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
-    assert np.asarray(out[0]).shape == (8,)
+    assert np.asarray(out[0]).shape == (8, 4)  # [B, C] chains
     mod.dryrun_multichip(8)
 
 
