@@ -81,38 +81,47 @@ def main():
     ql = jnp.full(Bs, Lq, jnp.int32)
     tl = jnp.full(Bs, Lt, jnp.int32)
     h0 = jnp.full(Bs, 30, jnp.int32)
-    extend_batch(q, ql, t, tl, h0)["score"].block_until_ready()  # compile
+    # NOTE: block_until_ready does not truly block through the axon
+    # tunnel — every timing below forces a VALUE fetch instead.
+    int(jnp.sum(extend_batch(q, ql, t, tl, h0)["score"]))  # compile
     t0 = time.time()
-    iters = 50
+    iters = 20
     acc = None
-    for _ in range(iters):  # async dispatch; single sync at the end
+    for _ in range(iters):  # async dispatch; single value-sync at end
         s = extend_batch(q, ql, t, tl, h0)["score"]
         acc = s if acc is None else acc + s
-    acc.block_until_ready()
+    int(jnp.sum(acc))
     dt = time.time() - t0
     gcups = Bs * Lq * Lt * iters / dt / 1e9
     print(f"sw extension (dispatch-bound): {gcups:.2f} Gcells/s",
           file=sys.stderr)
 
     # true on-device rate: K dependent iterations fused in ONE program
-    # (h0 chains through each call), so link latency is paid once
-    import jax.numpy as jnpp
+    # (h0 chains through each call), so link latency is paid once;
+    # measured for both the XLA kernel and the production Pallas one
+    K = 32
 
-    K = 64
+    def rate(fn, label):
+        @jax.jit
+        def chained(q, ql, t, tl, h0):
+            def body(_, h):
+                return fn(q, ql, t, tl, h, zdrop=100)["score"] % 1000
+            return jnp.sum(jax.lax.fori_loop(0, K, body, h0))
+        int(chained(q, ql, t, tl, h0))  # compile
+        t0 = time.time()
+        int(chained(q, ql, t, tl, h0))
+        dt = time.time() - t0
+        gc = Bs * Lq * Lt * K / dt / 1e9
+        print(f"sw extension (on-device, {label}): {gc:.2f} Gcells/s",
+              file=sys.stderr)
+        return gc
 
-    @jax.jit
-    def chained(q, ql, t, tl, h0):
-        def body(_, h):
-            return extend_batch(q, ql, t, tl, h)["score"] % 1000
-        return jax.lax.fori_loop(0, K, body, h0)
-
-    chained(q, ql, t, tl, h0).block_until_ready()  # compile
-    t0 = time.time()
-    chained(q, ql, t, tl, h0).block_until_ready()
-    dt = time.time() - t0
-    gcups_dev = Bs * Lq * Lt * K / dt / 1e9
-    print(f"sw extension (on-device): {gcups_dev:.2f} Gcells/s",
-          file=sys.stderr)
+    rate(extend_batch, "xla")
+    if jax.default_backend() != "cpu":
+        from seqlib_tpu.ops.sw_pallas import extend_batch_pallas
+        gcups_dev = rate(extend_batch_pallas, "pallas, production")
+    else:
+        gcups_dev = gcups
 
     print(json.dumps({
         "metric": "reads_aligned_per_sec_per_chip",

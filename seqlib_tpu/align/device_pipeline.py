@@ -28,6 +28,17 @@ from ..ops.fm import DeviceFMIndex, collect_seeds, sa_lookup
 from ..ops.sw import (BIT_EEXT, BIT_FEXT, DIR_E, DIR_M, NEG, extend_batch,
                       global_batch)
 
+
+def _extend_impl():
+    """Production extension kernel: the Pallas Mosaic kernel on TPU
+    (~2x XLA's fused loop, ops/sw_pallas.py), XLA elsewhere (Pallas
+    CPU would run interpreted)."""
+    import jax
+    if jax.default_backend() != "cpu":
+        from ..ops.sw_pallas import extend_batch_pallas
+        return extend_batch_pallas
+    return extend_batch
+
 OP_M, OP_D, OP_I, OP_NONE = 0, 1, 2, 3
 
 
@@ -347,6 +358,7 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
     jt = jnp.arange(TW, dtype=jnp.int32)[None, :]
     tlen_total = text.shape[0]
 
+    ext = _extend_impl()
     # ---- left: reversed prefixes --------------------------------------
     lq = jnp.where(valid, aq, 0).astype(jnp.int32)
     q_l = jnp.take_along_axis(
@@ -358,7 +370,7 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
     t_idx = jnp.clip(ar[:, None] - 1 - jt, 0, tlen_total - 1)
     t_l = jnp.where(jt < wl[:, None], text[t_idx], 4).astype(jnp.int8)
     h0 = (alen * match).astype(jnp.int32)
-    out_l = extend_batch(q_l, lq, t_l, wl, h0,
+    out_l = ext(q_l, lq, t_l, wl, h0,
                          o_del=o_del, e_del=e_del, o_ins=o_ins,
                          e_ins=e_ins, match=match, mismatch=mismatch,
                          zdrop=zdrop)
@@ -388,7 +400,7 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
     wr = jnp.where(valid, jnp.maximum(wr, 0), 0).astype(jnp.int32)
     t_idx = jnp.clip(rstart[:, None] + jt, 0, tlen_total - 1)
     t_r = jnp.where(jt < wr[:, None], text[t_idx], 4).astype(jnp.int8)
-    out_r = extend_batch(q_r, rlen, t_r, wr,
+    out_r = ext(q_r, rlen, t_r, wr,
                          score_l.astype(jnp.int32),
                          o_del=o_del, e_del=e_del, o_ins=o_ins,
                          e_ins=e_ins, match=match, mismatch=mismatch,

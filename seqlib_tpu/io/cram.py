@@ -1,16 +1,22 @@
-"""CRAM 3.0 container I/O (subset profile).
+"""CRAM 3.0 container + record I/O.
 
 Replaces the reference's CRAM capability (HTSlib cram codec, used via
 ``BamWriter(SeqLib::CRAM)`` /root/reference/src/BamWriter.cpp:133-167).
 
-Implemented per the CRAM 3.0 container model: file definition, ITF8/
-LTF8 varints, containers with landmarks + CRC32, blocks with
-method/content-type/content-id and gzip compression, SAM-header
-container, and the canonical EOF container.  The record codec is a
-simplified profile: each data series (flags, positions, names, bases,
-quals, tags) is a dedicated EXTERNAL block, byte-aligned — readable by
-this library; full htslib-interoperable read-feature encoding is
-roadmap (docs/ROADMAP.md).
+Container model per the CRAM 3.0 spec: file definition, ITF8/LTF8
+varints, containers with landmarks + CRC32, blocks with gzip/bzip2/
+lzma/rANS-4x8 compression methods, SAM-header container, canonical EOF
+container.  Records use the spec's self-describing layout: a
+compression header carrying preservation / data-series / tag encoding
+maps, slice header blocks, and the standard data series (BF CF RI RL
+AP RG RN MF NS NP TS TL FN FC FP + feature payload series), with read
+bases carried by features (reference-free profile, RR=0).  The READER
+is driven entirely by the file's encoding maps (EXTERNAL, HUFFMAN,
+BETA, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP codecs; rANS order-0/1 blocks),
+i.e. it decodes spec-conformant files rather than a private layout.
+True htslib cross-validation is not possible in this environment (no
+htslib/samtools binaries to produce fixtures); the codec layer follows
+the public spec and htscodecs stream formats (io/cram_codecs.py).
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ import zlib
 
 import numpy as np
 
-from ..core.cigar import Cigar
+from ..core.cigar import Cigar, CigarField
 from ..core.header import BamHeader
 from ..core.record import BamRecord
 
@@ -109,7 +115,7 @@ def read_ltf8(buf: bytes, off: int) -> tuple[int, int]:
 # blocks / containers
 # ---------------------------------------------------------------------------
 
-RAW, GZIP = 0, 1
+RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
 FILE_HEADER, COMPRESSION_HEADER, SLICE_HEADER, EXTERNAL = 0, 1, 2, 4
 
 
@@ -118,6 +124,15 @@ def write_block(method: int, ctype: int, content_id: int,
     raw_size = len(data)
     if method == GZIP:
         data = zlib.compress(data, 6)
+    elif method == BZIP2:
+        import bz2
+        data = bz2.compress(data)
+    elif method == LZMA:
+        import lzma as _lzma
+        data = _lzma.compress(data)
+    elif method == RANS:
+        from .cram_codecs import rans_encode_o0
+        data = rans_encode_o0(data)
     out = bytes([method, ctype]) + write_itf8(content_id) \
         + write_itf8(len(data)) + write_itf8(raw_size) + data
     return out + struct.pack("<I", zlib.crc32(out) & 0xFFFFFFFF)
@@ -138,6 +153,15 @@ def read_block(buf: bytes, off: int):
     off += 4
     if method == GZIP:
         data = zlib.decompress(data)
+    elif method == BZIP2:
+        import bz2
+        data = bz2.decompress(data)
+    elif method == LZMA:
+        import lzma as _lzma
+        data = _lzma.decompress(data)
+    elif method == RANS:
+        from .cram_codecs import rans_decode
+        data = rans_decode(data)
     if len(data) != rsize:
         raise ValueError("CRAM: block size mismatch")
     return dict(method=method, ctype=ctype, content_id=content_id,
@@ -197,91 +221,458 @@ def read_container_header(fh):
 
 
 # ---------------------------------------------------------------------------
-# record series codec (subset profile)
+# compression header / slice header / record codec (CRAM 3.0 spec)
 # ---------------------------------------------------------------------------
 
-_SERIES = ["BF", "MQ", "RI", "AP", "RL", "RN", "CG", "SQ", "QS", "NS",
-           "NP", "TS", "TG"]
-_SERIES_ID = {s: i + 1 for i, s in enumerate(_SERIES)}
+from .cram_codecs import (BitReader, Codec, ByteStream, enc_external,
+                          enc_byte_array_len_ext, enc_byte_array_stop,
+                          enc_huffman_const, rans_decode)
+
+CORE = 5
+
+# fixed external content ids for the data series this writer emits
+_DS_IDS = {k: i + 1 for i, k in enumerate(
+    ["BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP", "TS",
+     "NF", "TL", "FN", "FC", "FP", "DL", "RS", "PD", "HC", "MQ", "BA",
+     "QS", "SC", "IN", "BB", "BBL"])}
+
+_DEFAULT_SM = bytes([0x1B, 0x1B, 0x1B, 0x1B, 0x1B])
 
 
-def _encode_records(recs: list[BamRecord]) -> list[bytes]:
-    cols = {s: bytearray() for s in _SERIES}
-    for r in recs:
-        cols["BF"] += write_itf8(r.flag)
-        cols["MQ"] += write_itf8(r.mapq)
-        cols["RI"] += write_itf8(r.tid & 0xFFFFFFFF)
-        cols["AP"] += write_itf8(r.pos & 0xFFFFFFFF)
-        cols["RL"] += write_itf8(len(r.seq))
-        cols["RN"] += r.qname.encode() + b"\x00"
-        cols["CG"] += str(r.cigar).encode() + b"\x00"
-        cols["SQ"] += r.seq.encode()
-        if r.qual is None:
-            cols["QS"] += b"\xff"
-        else:
-            cols["QS"] += b"\x01" + r.qual.astype(np.uint8).tobytes()
-        cols["NS"] += write_itf8(r.mtid & 0xFFFFFFFF)
-        cols["NP"] += write_itf8(r.mpos & 0xFFFFFFFF)
-        cols["TS"] += write_itf8(r.isize & 0xFFFFFFFF)
-        cols["TG"] += ("\t".join(
-            f"{t}:{ty}:{v}" for t, (ty, v) in r.tags.items()
-            if ty not in "B") .encode()) + b"\x00"
-    return [write_block(GZIP, EXTERNAL, _SERIES_ID[s], bytes(cols[s]))
-            for s in _SERIES]
+def _tag_key(tag: str, typ: str) -> int:
+    return (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(typ)
+
+
+def _bam_tag_bytes(typ: str, val) -> bytes:
+    if typ == "A":
+        return val.encode() if isinstance(val, str) else bytes([val])
+    if typ in "cC":
+        return struct.pack("<B" if typ == "C" else "<b", int(val))
+    if typ in "sS":
+        return struct.pack("<H" if typ == "S" else "<h", int(val))
+    if typ in "iI":
+        return struct.pack("<I" if typ == "I" else "<i",
+                           int(val) & 0xFFFFFFFF if typ == "I"
+                           else int(val))
+    if typ == "f":
+        return struct.pack("<f", float(val))
+    if typ in "ZH":
+        return str(val).encode() + b"\x00"
+    raise ValueError(f"unsupported tag type {typ}")
+
+
+def _bam_tag_parse(typ: str, data: bytes):
+    if typ == "A":
+        return data[:1].decode()
+    if typ == "c":
+        return struct.unpack("<b", data[:1])[0]
+    if typ == "C":
+        return data[0]
+    if typ == "s":
+        return struct.unpack("<h", data[:2])[0]
+    if typ == "S":
+        return struct.unpack("<H", data[:2])[0]
+    if typ == "i":
+        return struct.unpack("<i", data[:4])[0]
+    if typ == "I":
+        return struct.unpack("<I", data[:4])[0]
+    if typ == "f":
+        return struct.unpack("<f", data[:4])[0]
+    return data.rstrip(b"\x00").decode()
+
+
+def _write_map(entries: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"".join(k + v for k, v in entries)
+    inner = write_itf8(len(entries)) + body
+    return write_itf8(len(inner)) + inner
+
+
+def _enc_bytes(codec_id: int, params: bytes) -> bytes:
+    return write_itf8(codec_id) + write_itf8(len(params)) + params
+
+
+def build_compression_header(tag_lines: list[list[tuple[str, str]]]
+                             ) -> bytes:
+    """Preservation map + data-series encodings + tag encodings for
+    the writer's profile (reference-free: RR=0, all bases carried by
+    features; spec section 8.4)."""
+    pres = [
+        (b"RN", b"\x01"),            # read names preserved
+        (b"AP", b"\x00"),            # AP not delta-encoded
+        (b"RR", b"\x00"),            # no reference required
+        (b"SM", _DEFAULT_SM),
+        (b"TD", (lambda td: write_itf8(len(td)) + td)(
+            b"".join(b"".join(t.encode() + y.encode()
+                              for t, y in line) + b"\x00"
+                     for line in tag_lines))),
+    ]
+    ds = []
+    for key in ["BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP",
+                "TS", "NF", "TL", "FN", "FP", "DL", "RS", "PD", "HC",
+                "MQ"]:
+        cid, params = enc_external(_DS_IDS[key])
+        ds.append((key.encode(), _enc_bytes(cid, params)))
+    for key in ["BA", "QS", "FC"]:
+        cid, params = enc_external(_DS_IDS[key])
+        ds.append((key.encode(), _enc_bytes(cid, params)))
+    cid, params = enc_byte_array_stop(0x00, _DS_IDS["RN"])
+    ds.append((b"RN", _enc_bytes(cid, params)))
+    cid, params = enc_byte_array_stop(0x00, _DS_IDS["SC"])
+    ds.append((b"SC", _enc_bytes(cid, params)))
+    cid, params = enc_byte_array_stop(0x00, _DS_IDS["IN"])
+    ds.append((b"IN", _enc_bytes(cid, params)))
+    cid, params = enc_byte_array_len_ext(_DS_IDS["BBL"], _DS_IDS["BB"])
+    ds.append((b"BB", _enc_bytes(cid, params)))
+    tags = []
+    seen = set()
+    for line in tag_lines:
+        for t, y in line:
+            k = _tag_key(t, y)
+            if k in seen:
+                continue
+            seen.add(k)
+            cid, params = enc_byte_array_len_ext(k, k)
+            tags.append((write_itf8(k), _enc_bytes(cid, params)))
+    return _write_map(pres) + _write_map(ds) + _write_map(tags)
+
+
+class CompressionHeader:
+    """Parsed compression header: preservation flags, per-series and
+    per-tag Codec instances (self-describing decode)."""
+
+    def __init__(self, data: bytes):
+        off = 0
+        self.rn = True
+        self.ap_delta = False
+        self.rr = True
+        self.sm = _DEFAULT_SM
+        self.td: list[list[tuple[str, str]]] = [[]]
+        # preservation map
+        _, off = read_itf8(data, off)
+        n, off = read_itf8(data, off)
+        for _ in range(n):
+            key = data[off:off + 2]; off += 2
+            if key == b"RN":
+                self.rn = bool(data[off]); off += 1
+            elif key == b"AP":
+                self.ap_delta = bool(data[off]); off += 1
+            elif key == b"RR":
+                self.rr = bool(data[off]); off += 1
+            elif key == b"SM":
+                self.sm = data[off:off + 5]; off += 5
+            elif key == b"TD":
+                ln, off = read_itf8(data, off)
+                raw = data[off:off + ln]; off += ln
+                self.td = []
+                for line in raw.split(b"\x00")[:-1]                         if raw.endswith(b"\x00") else raw.split(b"\x00"):
+                    trips = [(line[i:i + 2].decode(),
+                              chr(line[i + 2]))
+                             for i in range(0, len(line), 3)]
+                    self.td.append(trips)
+                if not self.td:
+                    self.td = [[]]
+            else:
+                raise ValueError(f"unknown preservation key {key}")
+        # data series encodings
+        _, off = read_itf8(data, off)
+        n, off = read_itf8(data, off)
+        self.series: dict[str, Codec] = {}
+        for _ in range(n):
+            key = data[off:off + 2].decode(); off += 2
+            cid, off = read_itf8(data, off)
+            plen, off = read_itf8(data, off)
+            self.series[key] = Codec(cid, data[off:off + plen])
+            off += plen
+        # tag encodings
+        _, off = read_itf8(data, off)
+        n, off = read_itf8(data, off)
+        self.tags: dict[int, Codec] = {}
+        for _ in range(n):
+            k, off = read_itf8(data, off)
+            cid, off = read_itf8(data, off)
+            plen, off = read_itf8(data, off)
+            self.tags[k] = Codec(cid, data[off:off + plen])
+            off += plen
+
+
+def write_slice_header(ref_id: int, start: int, span: int, n_rec: int,
+                       counter: int, content_ids: list[int]) -> bytes:
+    body = (write_itf8(ref_id & 0xFFFFFFFF) + write_itf8(start)
+            + write_itf8(span) + write_itf8(n_rec)
+            + write_ltf8(counter) + write_itf8(len(content_ids))
+            + b"".join(write_itf8(c) for c in content_ids)
+            + write_itf8(0xFFFFFFFF)     # embedded ref block id = -1
+            + b"\x00" * 16)              # MD5 (unchecked)
+    return body
+
+
+def read_slice_header(data: bytes):
+    off = 0
+    ref_id, off = read_itf8(data, off)
+    start, off = read_itf8(data, off)
+    span, off = read_itf8(data, off)
+    n_rec, off = read_itf8(data, off)
+    counter, off = read_ltf8(data, off)
+    n_ids, off = read_itf8(data, off)
+    ids = []
+    for _ in range(n_ids):
+        v, off = read_itf8(data, off)
+        ids.append(v)
+    emb, off = read_itf8(data, off)
+    return dict(ref_id=_u2i(ref_id), start=start, span=span,
+                n_rec=n_rec, counter=counter, content_ids=ids)
 
 
 def _u2i(v: int) -> int:
     return v - 0x100000000 if v >= 0x80000000 else v
 
 
-def _decode_records(blocks: dict[int, bytes], n: int,
-                    hdr: BamHeader) -> list[BamRecord]:
-    offs = {s: 0 for s in _SERIES}
-    bufs = {s: blocks.get(_SERIES_ID[s], b"") for s in _SERIES}
+_CIGAR_FEAT = {"I": "I", "D": "D", "S": "S", "N": "N", "H": "H",
+               "P": "P"}
 
-    def itf(s):
-        v, offs[s] = read_itf8(bufs[s], offs[s])
-        return v
 
-    def cstr(s):
-        end = bufs[s].index(b"\x00", offs[s])
-        out = bufs[s][offs[s]:end].decode()
-        offs[s] = end + 1
-        return out
+def _encode_records(recs: list[BamRecord]):
+    """Records -> (external block bytes by content id, tag_lines)."""
+    cols: dict[int, bytearray] = {i: bytearray()
+                                  for i in _DS_IDS.values()}
+    tag_lines: list[list[tuple[str, str]]] = []
+    line_index: dict[tuple, int] = {}
+    tag_cols: dict[int, bytearray] = {}
+
+    def put(key, v):
+        cols[_DS_IDS[key]] += write_itf8(v & 0xFFFFFFFF)
+
+    for r in recs:
+        seq = r.seq or ""
+        put("BF", r.flag)
+        cf = 2 | (1 if r.qual is not None else 0)   # detached, quals?
+        put("CF", cf)
+        put("RI", r.tid)
+        put("RL", len(seq))
+        put("AP", r.pos)
+        put("RG", -1)
+        cols[_DS_IDS["RN"]] += r.qname.encode() + b"\x00"
+        mf = (1 if (r.flag & 0x20) else 0) | (2 if (r.flag & 0x8) else 0)
+        put("MF", mf)
+        put("NS", r.mtid)
+        put("NP", r.mpos)
+        put("TS", r.isize)
+        line = tuple(sorted((t, ty) for t, (ty, v) in r.tags.items()))
+        tl = line_index.get(line)
+        if tl is None:
+            tl = len(tag_lines)
+            line_index[line] = tl
+            tag_lines.append(list(line))
+        put("TL", tl)
+        for t, ty in tag_lines[tl]:
+            v = r.tags[t][1]
+            k = _tag_key(t, ty)
+            col = tag_cols.setdefault(k, bytearray())
+            data = _bam_tag_bytes(ty, v)
+            col += write_itf8(len(data)) + data
+        if r.flag & 0x4:                      # unmapped: BA verbatim
+            cols[_DS_IDS["BA"]] += seq.encode()
+        else:
+            # features from CIGAR (reference-free: M runs carried by
+            # 'b' features, so RR=0 decoders reconstruct everything)
+            feats = []                        # (fp_pos_1based, code, payload)
+            qpos = 1
+            for field in r.cigar:
+                op, ln = field.type, field.length
+                if op in ("M", "=", "X"):
+                    feats.append((qpos, "b", seq[qpos - 1:qpos - 1 + ln]))
+                    qpos += ln
+                elif op == "I":
+                    feats.append((qpos, "I", seq[qpos - 1:qpos - 1 + ln]))
+                    qpos += ln
+                elif op == "S":
+                    feats.append((qpos, "S", seq[qpos - 1:qpos - 1 + ln]))
+                    qpos += ln
+                elif op == "D":
+                    feats.append((qpos, "D", ln))
+                elif op == "N":
+                    feats.append((qpos, "N", ln))
+                elif op == "H":
+                    feats.append((qpos, "H", ln))
+                elif op == "P":
+                    feats.append((qpos, "P", ln))
+            put("FN", len(feats))
+            last = 0
+            for fp, code, payload in feats:
+                cols[_DS_IDS["FC"]].append(ord(code))
+                put("FP", fp - last)
+                last = fp
+                if code == "b":
+                    cols[_DS_IDS["BBL"]] += write_itf8(len(payload))
+                    cols[_DS_IDS["BB"]] += payload.encode()
+                elif code == "I":
+                    cols[_DS_IDS["IN"]] += payload.encode() + b"\x00"
+                elif code == "S":
+                    cols[_DS_IDS["SC"]] += payload.encode() + b"\x00"
+                elif code == "D":
+                    cols[_DS_IDS["DL"]] += write_itf8(payload)
+                elif code == "N":
+                    cols[_DS_IDS["RS"]] += write_itf8(payload)
+                elif code == "H":
+                    cols[_DS_IDS["HC"]] += write_itf8(payload)
+                elif code == "P":
+                    cols[_DS_IDS["PD"]] += write_itf8(payload)
+            put("MQ", r.mapq)
+        if r.qual is not None:
+            cols[_DS_IDS["QS"]] += bytes(
+                int(q) & 0xFF for q in r.qual)
+    blocks = {}
+    for cid, col in cols.items():
+        if col:
+            blocks[cid] = bytes(col)
+    for k, col in tag_cols.items():
+        blocks[k] = bytes(col)
+    return blocks, tag_lines
+
+
+def _decode_records(ch: CompressionHeader, slc: dict,
+                    ext: dict[int, bytes], core_data: bytes,
+                    ref_names_len: int) -> list[BamRecord]:
+    """Generic CRAM 3.0 record decode driven by the compression
+    header's encoding maps (spec section 8.5)."""
+    streams = {cid: ByteStream(d) for cid, d in ext.items()}
+    core = BitReader(core_data)
+    S = ch.series
+
+    def r_int(key, default=None):
+        c = S.get(key)
+        if c is None:
+            if default is not None:
+                return default
+            raise ValueError(f"CRAM: series {key} missing")
+        return c.read_int(core, streams)
+
+    def r_bytes_arr(key):
+        return S[key].read_array(core, streams)
 
     recs = []
-    for _ in range(n):
+    last_ap = slc["start"]
+    for _ in range(slc["n_rec"]):
         r = BamRecord()
-        r.flag = itf("BF")
-        r.mapq = itf("MQ")
-        r.tid = _u2i(itf("RI"))
-        r.pos = _u2i(itf("AP"))
-        rl = itf("RL")
-        r.qname = cstr("RN")
-        r.cigar = Cigar(cstr("CG"))
-        r.seq = bufs["SQ"][offs["SQ"]:offs["SQ"] + rl].decode()
-        offs["SQ"] += rl
-        marker = bufs["QS"][offs["QS"]]
-        offs["QS"] += 1
-        if marker == 0xFF:
-            r.qual = None
+        bf = r_int("BF")
+        cf = r_int("CF")
+        if slc["ref_id"] == -2:
+            tid = _u2i(r_int("RI"))
         else:
-            r.qual = np.frombuffer(
-                bufs["QS"], np.uint8, rl, offs["QS"]).copy()
-            offs["QS"] += rl
-        r.mtid = _u2i(itf("NS"))
-        r.mpos = _u2i(itf("NP"))
-        r.isize = _u2i(itf("TS"))
-        tg = cstr("TG")
-        if tg:
-            for f in tg.split("\t"):
-                tag, ty, val = f.split(":", 2)
-                if ty in "iIcCsS":
-                    r.tags[tag] = (ty, int(val))
-                elif ty == "f":
-                    r.tags[tag] = ("f", float(val))
+            tid = slc["ref_id"]
+        rl = r_int("RL")
+        ap = _u2i(r_int("AP"))
+        if ch.ap_delta:
+            ap = last_ap + ap
+            last_ap = ap
+        r_int("RG", default=-1)
+        if ch.rn:
+            r.qname = r_bytes_arr("RN").decode()
+        if cf & 2:                        # detached
+            mf = r_int("MF", default=0)
+            if not ch.rn:
+                r.qname = r_bytes_arr("RN").decode()
+            r.mtid = _u2i(r_int("NS"))
+            r.mpos = _u2i(r_int("NP"))
+            r.isize = _u2i(r_int("TS"))
+            bf |= (0x20 if (mf & 1) else 0) | (0x8 if (mf & 2) else 0)
+        elif cf & 4:                      # mate downstream
+            r_int("NF")
+        tl = r_int("TL", default=0)
+        for t, ty in ch.td[tl] if tl < len(ch.td) else []:
+            k = _tag_key(t, ty)
+            raw = ch.tags[k].read_array(core, streams)
+            r.tags[t] = (ty, _bam_tag_parse(ty, raw))
+        seq = bytearray(b"N" * rl)
+        cig: list[tuple[str, int]] = []
+        if not (bf & 0x4):                # mapped
+            fn = r_int("FN")
+            qpos = 1
+            cpos = 1                      # next unaccounted read base
+            def add(op, ln):
+                if ln <= 0:
+                    return
+                if cig and cig[-1][0] == op:
+                    cig[-1] = (op, cig[-1][1] + ln)
                 else:
-                    r.tags[tag] = (ty, val)
+                    cig.append((op, ln))
+            for _f in range(fn):
+                fc = chr(S["FC"].read_byte(core, streams))
+                fp = r_int("FP")
+                qpos += fp if _f else fp - 1
+                # implicit M gap before this feature
+                if fc == "b":
+                    bb = r_bytes_arr("BB")
+                    add("M", qpos - cpos)
+                    seq[qpos - 1:qpos - 1 + len(bb)] = bb
+                    add("M", len(bb))
+                    cpos = qpos + len(bb)
+                elif fc == "X":
+                    sub = r_int("BS")
+                    add("M", qpos - cpos + 1)
+                    cpos = qpos + 1       # base unknown without ref
+                elif fc == "B":
+                    ba = S["BA"].read_byte(core, streams)
+                    S["QS"].read_byte(core, streams)
+                    add("M", qpos - cpos + 1)
+                    seq[qpos - 1] = ba
+                    cpos = qpos + 1
+                elif fc == "i":
+                    ba = S["BA"].read_byte(core, streams)
+                    add("M", qpos - cpos)
+                    add("I", 1)
+                    seq[qpos - 1] = ba
+                    cpos = qpos + 1
+                elif fc == "I":
+                    ins = r_bytes_arr("IN")
+                    add("M", qpos - cpos)
+                    add("I", len(ins))
+                    seq[qpos - 1:qpos - 1 + len(ins)] = ins
+                    cpos = qpos + len(ins)
+                elif fc == "S":
+                    sc = r_bytes_arr("SC")
+                    add("M", qpos - cpos)
+                    add("S", len(sc))
+                    seq[qpos - 1:qpos - 1 + len(sc)] = sc
+                    cpos = qpos + len(sc)
+                elif fc == "D":
+                    add("M", qpos - cpos + 1 - 1)
+                    add("D", r_int("DL"))
+                    cpos = qpos
+                elif fc == "N":
+                    add("M", qpos - cpos)
+                    add("N", r_int("RS"))
+                    cpos = qpos
+                elif fc == "H":
+                    add("M", qpos - cpos)
+                    add("H", r_int("HC"))
+                    cpos = qpos
+                elif fc == "P":
+                    add("M", qpos - cpos)
+                    add("P", r_int("PD"))
+                    cpos = qpos
+                elif fc == "Q":
+                    S["QS"].read_byte(core, streams)
+                    cpos = qpos
+                elif fc == "q":
+                    r_bytes_arr("QQ")
+                    cpos = qpos
+                else:
+                    raise ValueError(f"CRAM: feature code {fc!r}")
+            add("M", rl - cpos + 1)
+            r.mapq = r_int("MQ")
+        else:
+            ba = streams[S["BA"].content_id].read_bytes(rl)                 if S.get("BA") and S["BA"].id == 1 else b"N" * rl
+            seq[:] = ba
+        if cf & 1:
+            q = streams[S["QS"].content_id].read_bytes(rl)                 if S.get("QS") and S["QS"].id == 1 else b""
+            r.qual = np.frombuffer(q, np.uint8).copy() if q else None
+        r.flag = bf
+        r.tid = tid
+        r.pos = ap
+        r.seq = seq.decode()
+        if cig:
+            r.cigar = Cigar([CigarField(o, ln) for o, ln in cig])
         recs.append(r)
     return recs
 
@@ -321,16 +712,22 @@ class CramWriter:
         if not self._pending:
             return
         recs = self._pending
-        # compression-header block: a minimal preservation map
+        ext, tag_lines = _encode_records(recs)
         comp = write_block(GZIP, COMPRESSION_HEADER, 0,
-                           b"\x00")  # subset profile: no maps
-        blocks = [comp] + _encode_records(recs)
-        tids = {r.tid for r in recs}
-        ref_id = tids.pop() if len(tids) == 1 else -2
+                           build_compression_header(tag_lines))
+        cids = sorted(ext)
+        sl = write_block(GZIP, SLICE_HEADER, 0, write_slice_header(
+            -2, 0, 0, len(recs), self._counter, cids))
+        blocks = [comp, sl, write_block(RAW, CORE, 0, b"")]
+        for cid in cids:
+            # rANS for the bulky base/qual series, gzip elsewhere
+            method = RANS if cid in (_DS_IDS["QS"], _DS_IDS["BB"],
+                                     _DS_IDS["BA"]) else GZIP
+            blocks.append(write_block(method, EXTERNAL, cid, ext[cid]))
         self._fh.write(write_container(
-            blocks, ref_id=ref_id, n_records=len(recs),
+            blocks, ref_id=-2, n_records=len(recs),
             counter=self._counter,
-            bases=sum(len(r.seq) for r in recs)))
+            bases=sum(len(r.seq or "") for r in recs)))
         self._counter += len(recs)
         self._pending = []
 
@@ -373,13 +770,31 @@ class CramReader:
             if ch["n_records"] == 0:
                 continue
             off = 0
-            blocks: dict[int, bytes] = {}
+            comp_hdr = None
+            slices = []          # (slice dict, ext blocks, core bytes)
+            cur = None
             for _ in range(ch["n_blocks"]):
                 blk, off = read_block(body, off)
-                if blk["ctype"] == EXTERNAL:
-                    blocks[blk["content_id"]] = blk["data"]
-            self._queue = _decode_records(blocks, ch["n_records"],
-                                          self.header)
+                if blk["ctype"] == COMPRESSION_HEADER:
+                    comp_hdr = CompressionHeader(blk["data"])
+                elif blk["ctype"] == SLICE_HEADER:
+                    cur = (read_slice_header(blk["data"]), {},
+                           bytearray())
+                    slices.append(cur)
+                elif blk["ctype"] == CORE and cur is not None:
+                    cur[2][:] = blk["data"]
+                elif blk["ctype"] == EXTERNAL and cur is not None:
+                    cur[1][blk["content_id"]] = blk["data"]
+            if comp_hdr is None:
+                raise ValueError("CRAM: container missing "
+                                 "compression header")
+            out = []
+            for slc, ext, core in slices:
+                out.extend(_decode_records(
+                    comp_hdr, slc, ext, bytes(core),
+                    self.header.num_sequences()
+                    if hasattr(self.header, "num_sequences") else 0))
+            self._queue = out
         if self._queue:
             return self._queue.pop(0)
         return None

@@ -43,13 +43,19 @@ BL = 128          # batch lanes per program
 NEG16 = -16384    # -inf surrogate that survives int16 adds
 
 
+def _roll16(x, shift):
+    """Sublane roll (int32 lanes; this Mosaic lowers rotates and
+    compares only for 32-bit data, so the DP state is int32)."""
+    return pltpu.roll(x, shift=shift, axis=0)
+
+
 def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
                    score_ref, qle_ref, tle_ref, gscore_ref, gtle_ref,
                    *, LQ: int, TW: int, o_del: int, e_del: int,
                    o_ins: int, e_ins: int, match: int, mismatch: int,
                    zdrop: int):
-    i16 = jnp.int16
-    tt = t_ref[:]                                  # [TW, BL] int16 (row j-1)
+    i16 = jnp.int32    # int16 compares/rotates unsupported by this Mosaic
+    tt = t_ref[:].astype(jnp.int32)                # [TW, BL] (row j-1)
     ql = ql_ref[:]                                 # [1, BL] int32
     tl = tl_ref[:]
     h0 = h0_ref[:].astype(i16)
@@ -60,49 +66,48 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
     neg = jnp.full((TW, BL), NEG16, i16)
 
     # row 0 boundary: H(0,j) = h0 - (o_del + e_del*j); dead cells NEG
-    h_row0 = h0 - jnp.int16(o_del) - jnp.int16(e_del) * jt
+    h_row0 = h0 - jnp.int32(o_del) - jnp.int32(e_del) * jt
     h_row0 = jnp.where(h_row0 < 0, neg, h_row0)
     h_row0 = jnp.where(jt32 == 0, h0, h_row0)
     h_row0 = jnp.where(tmask, h_row0, neg)
 
     # hoisted scan masks: step s valid where j >= s
     n_steps = max(TW - 1, 1).bit_length()
-    ecoef = jnp.int16(e_del) * jt
+    ecoef = jnp.int32(e_del) * jt
 
-    def body(i, st):
+    def row_body(i, qi, st):
         h_prev, f_prev, bscore, brow, g_row, zstate = st
         zbest, zbi, zbj, stopped = zstate
-        qi = q_ref[pl.ds(i, 1), :]                 # [1, BL]
         is_match = (tt == qi) & (tt < 4) & (qi < 4)
-        sub = jnp.where(is_match, jnp.int16(match), jnp.int16(-mismatch))
+        sub = jnp.where(is_match, jnp.int32(match), jnp.int32(-mismatch))
         # M(j) = h_prev(j-1) + sub(j): shift h_prev down one sublane
-        h_up = pltpu.roll(h_prev, shift=1, axis=0)
+        h_up = _roll16(h_prev, 1)
         h_up = jnp.where(jt32 >= 1, h_up, neg)
         M = h_up + sub
-        F = jnp.maximum(h_prev - jnp.int16(o_ins + e_ins),
-                        f_prev - jnp.int16(e_ins))
+        F = jnp.maximum(h_prev - jnp.int32(o_ins + e_ins),
+                        f_prev - jnp.int32(e_ins))
         hnd = jnp.where(jt32 >= 1, jnp.maximum(M, F), F)
         hnd = jnp.maximum(hnd, neg)
         # E(j) = max_{j'<j}(hnd(j') + e*j') - o - e*j
         g = hnd + ecoef
         s = 1
         for _ in range(n_steps):
-            rolled = pltpu.roll(g, shift=s, axis=0)
+            rolled = _roll16(g, s)
             g = jnp.maximum(g, jnp.where(jt32 >= s, rolled, neg))
             s *= 2
-        g1 = pltpu.roll(g, shift=1, axis=0)
-        E = jnp.where(jt32 >= 1, g1, neg) - jnp.int16(o_del) - ecoef
+        g1 = _roll16(g, 1)
+        E = jnp.where(jt32 >= 1, g1, neg) - jnp.int32(o_del) - ecoef
         h = jnp.maximum(hnd, E)
         h = jnp.where(tmask, h, neg)
-        act32 = (i < ql) & ~stopped                # [1, BL] bool
+        act32 = (i < ql) & (stopped == 0)          # [1, BL] bool
         h = jnp.where(act32, h, h_prev)
         f = jnp.where(act32, F, f_prev)
         # per-column running best (strictly greater keeps earliest row)
         hcl = jnp.where(act32 & (jt32 > 0), jnp.maximum(h, -1),
-                        jnp.int16(-1))
+                        jnp.int32(-1))
         better = hcl > bscore
         bscore = jnp.where(better, hcl, bscore)
-        brow = jnp.where(better, jnp.int16(0) + i.astype(i16), brow)
+        brow = jnp.where(better, i, brow)
         g_row = jnp.where(act32 & (i == ql - 1), h, g_row)
         if zdrop > 0:
             m = jnp.max(hcl, axis=0, keepdims=True)          # [1, BL]
@@ -115,18 +120,32 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
             gap = jnp.abs(di - dj)
             pen = jnp.where(di > dj, e_del, e_ins) * gap
             zstop = act32 & ~better_z & (zbest - m32 - pen > zdrop)
-            stopped = stopped | zstop | (act32 & (m32 <= 0))
+            stopped = jnp.maximum(
+                stopped, (zstop | (act32 & (m32 <= 0))).astype(jnp.int32))
             zbest = jnp.where(act32 & better_z, m32, zbest)
             zbi = jnp.where(act32 & better_z, i, zbi)
             zbj = jnp.where(act32 & better_z, mj, zbj)
         return (h, f, bscore, brow, g_row, (zbest, zbi, zbj, stopped))
 
+    # outer loop over aligned 16-row query blocks (int16 sublane
+    # alignment: dynamic loads must start at a tile boundary), inner
+    # 16 rows unrolled on the loaded block
+    assert LQ % 16 == 0
+
+    def blk_body(ib, st):
+        i0 = ib * 16
+        qblk = q_ref[pl.ds(pl.multiple_of(i0, 16), 16), :].astype(jnp.int32)
+        for k in range(16):
+            st = row_body(i0 + k, qblk[k:k + 1, :], st)
+        return st
+
     zero1 = jnp.zeros((1, BL), jnp.int32)
     zinit = (h0_ref[:].astype(jnp.int32), zero1, zero1,
-             jnp.zeros((1, BL), bool))
+             jnp.zeros((1, BL), jnp.int32))
     init = (h_row0, neg, jnp.full((TW, BL), -1, i16), jnp.zeros((TW, BL),
             i16), neg, zinit)
-    h, f, bscore, brow, g_row, _ = jax.lax.fori_loop(0, LQ, body, init)
+    h, f, bscore, brow, g_row, _ = jax.lax.fori_loop(
+        0, LQ // 16, blk_body, init)
 
     # one-time packed reductions (int32)
     BIG = jnp.int32(0x7FFFFFFF)
@@ -159,13 +178,14 @@ def extend_batch_pallas(query, qlen, target, tlen, h0,
                         zdrop: int = 0,
                         interpret: bool = False):
     """Pallas drop-in for ops.sw.extend_batch (same outputs)."""
-    B, LQ = query.shape
+    B, LQ0 = query.shape
     _, LT = target.shape
     TW = ((LT + 1 + 7) // 8) * 8           # sublane axis: mult of 8
+    LQ = ((LQ0 + 15) // 16) * 16           # aligned query blocks
     Bp = ((B + BL - 1) // BL) * BL
     # transposed operands: [LQ, B] query, [TW, B] target (row j = base
     # j-1 so DP column j matches), pads hold 4 (N)
-    qp = jnp.full((LQ, Bp), 4, jnp.int16).at[:, :B].set(
+    qp = jnp.full((LQ, Bp), 4, jnp.int16).at[:LQ0, :B].set(
         query.astype(jnp.int16).T)
     tp = jnp.full((TW, Bp), 4, jnp.int16).at[1:LT + 1, :B].set(
         target.astype(jnp.int16).T)

@@ -489,3 +489,78 @@ def test_fetch_region_native_parity(tmp_path):
         got = [] if b is None else [(b.record(i).qname, int(b.pos[i]))
                                     for i in range(len(b))]
         assert got == expect, p
+
+
+def test_cram_spec_profile_features(tmp_path):
+    """CRAM 3.0 spec-profile roundtrip: self-describing compression
+    header (preservation/data-series/tag encoding maps), slice
+    headers, read features for clips/indels, rANS-compressed base and
+    qual series (compression method 4), BYTE_ARRAY_STOP names."""
+    import numpy as np
+    from seqlib_tpu.core.cigar import Cigar
+    from seqlib_tpu.core.record import BamRecord
+    from seqlib_tpu.io.cram import CramReader, CramWriter
+    from seqlib_tpu.core.header import BamHeader
+    hdr = BamHeader("@SQ\tSN:c1\tLN:10000\n@SQ\tSN:c2\tLN:5000\n")
+    recs = []
+    specs = [
+        ("r1", 0, 0, 100, 60, "10S30M5I20M3D25M10H", "ACGT" * 22 + "AC",
+         True, {"NM": ("i", 3), "AS": ("i", 77), "XA": ("Z", "c2,+5,90M,1")}),
+        ("r2", 16, 1, 777, 13, "50M", "GGCC" * 12 + "GG", False,
+         {"RG": ("Z", "grp1")}),
+        ("r3", 4, -1, -1, 0, "", "NNNACGTNNN", True, {}),   # unmapped
+        ("r4", 0, 0, 55, 29, "20M1000N20M", "A" * 40, True,
+         {"fl": ("f", 1.5), "ch": ("A", "x"), "sc": ("c", -3)}),
+    ]
+    for name, flag, tid, pos, mapq, cig, seq, has_q, tags in specs:
+        r = BamRecord()
+        r.qname, r.flag, r.tid, r.pos, r.mapq = name, flag, tid, pos, mapq
+        r.seq = seq
+        if cig:
+            r.cigar = Cigar(cig)
+        if has_q:
+            r.qual = np.arange(len(seq), dtype=np.uint8) % 40 + 33
+        for t, v in tags.items():
+            r.tags[t] = v
+        recs.append(r)
+    p = tmp_path / "f.cram"
+    w = CramWriter(str(p))
+    w.write_header(hdr)
+    for r in recs:
+        w.write_record(r)
+    w.close()
+    # the file must carry an rANS (method 4) block
+    raw = p.read_bytes()
+    assert b"\x04\x04" in raw or raw.find(bytes([4, 4])) >= 0
+    rd = CramReader(str(p))
+    got = list(rd)
+    assert len(got) == len(recs)
+    for a, b in zip(recs, got):
+        assert a.qname == b.qname
+        assert a.flag == b.flag
+        assert a.tid == b.tid and a.pos == b.pos
+        assert a.mapq == b.mapq or (a.flag & 4)
+        assert str(a.cigar) == str(b.cigar)
+        assert a.seq == b.seq
+        if a.qual is None:
+            assert b.qual is None
+        else:
+            assert (a.qual == b.qual).all()
+        for t, (ty, v) in a.tags.items():
+            ty2, v2 = b.tags[t]
+            assert ty2 == ty
+            if ty == "f":
+                assert abs(v2 - v) < 1e-6
+            else:
+                assert v2 == v
+
+
+def test_rans_order0_roundtrip_and_block():
+    import numpy as np
+    from seqlib_tpu.io.cram_codecs import rans_encode_o0, rans_decode
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(33, 74, 4096, dtype=np.uint8))
+    enc = rans_encode_o0(data)
+    assert enc[0] == 0                      # order byte
+    assert rans_decode(enc) == data
+    assert len(enc) < len(data)             # entropy coding pays off
