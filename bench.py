@@ -56,7 +56,8 @@ def main():
     names = [r.name for r in reads]
     rseqs = [r.seq for r in reads]
 
-    B = 1024  # smaller batches -> deeper pipeline over the device link
+    B = 4096  # large batches: the remote device link charges ~10+ ms
+    # per message, so fewer round trips beat a deeper pipeline
     # warmup/compile
     t0 = time.time()
     aln.align_batch(rseqs[:B], names[:B])

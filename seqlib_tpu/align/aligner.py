@@ -35,7 +35,12 @@ from ..core.unaligned import UnalignedSequence
 from ..index.fmindex import FMIndex
 from ..index.pack import both_strands
 from ..ops.fm import DeviceFMIndex
-from .device_pipeline import global_and_traceback, seed_chain_extend
+from .device_full import (FLAG_EMIT, FLAG_OVER, FLAG_PERFECT,
+                          FLAG_WIDE, NFIELD, align_full)
+from .device_pipeline import (global_and_traceback,
+                              global_and_traceback_packed,
+                              seed_chain_extend,
+                              seed_chain_extend_packed, unpack_stage1)
 from .options import AlignerOptions
 
 MAX_SEEDS = 16          # per read from the seed scan
@@ -173,7 +178,7 @@ class BWAAligner:
         dp2 = P("dp", None)
 
         def fused_fn(reads, lens):
-            return seed_chain_extend(
+            return seed_chain_extend_packed(
                 fm, text, reads, lens, l_pac=self.index.l_pac,
                 max_seeds=MAX_SEEDS, min_seed_len=opt.min_seed_len,
                 max_occ=opt.max_occ, k_occ=MAX_OCC_LOCATE,
@@ -183,23 +188,19 @@ class BWAAligner:
                 e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
                 pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
                 w=opt.w, zdrop=opt.zdrop)
-        fused_out = dict(qb=dp2, qe=dp2, rb=dp2, re=dp2, score=dp2,
-                         weight=dp2, keep=dp2, rep_cov=dp1, n_dp=dp1,
-                         anchor_q=dp2, anchor_len=dp2, anchor_r=dp2,
-                         occ_clip=dp1, seeds_full=dp1, n_seg=dp1)
         self._sh_fused = jax.jit(jax.shard_map(
             fused_fn, mesh=mesh, in_specs=(dp2, dp1),
-            out_specs=fused_out, check_vma=False))
+            out_specs=dp2, check_vma=False))
 
         def glob_fn(q, ql, t, tl):
-            return global_and_traceback(
+            return global_and_traceback_packed(
                 q, ql, t, tl, o_del=opt.o_del, e_del=opt.e_del,
                 o_ins=opt.o_ins, e_ins=opt.e_ins, match=opt.a,
                 mismatch=opt.b, band=2 * opt.w + 8)
         self._sh_global = jax.jit(jax.shard_map(
             glob_fn, mesh=mesh,
             in_specs=(dp2, dp1, dp2, dp1),
-            out_specs=(dp1, dp2, dp1), check_vma=False))
+            out_specs=(dp2, dp2), check_vma=False))
 
     @property
     def n_shards(self) -> int:
@@ -232,7 +233,7 @@ class BWAAligner:
         opt = self.options
         if self.mesh is not None:
             return self._sh_fused(enc_j, lens_j)
-        return seed_chain_extend(
+        return seed_chain_extend_packed(
             self.fm, self.text_j, enc_j, lens_j,
             l_pac=self.index.l_pac,
             max_seeds=MAX_SEEDS, min_seed_len=opt.min_seed_len,
@@ -256,7 +257,7 @@ class BWAAligner:
         if stage1 is None:
             stage1 = self._dispatch_stage1(
                 jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
-        out = jax.device_get(stage1)
+        out = unpack_stage1(np.asarray(stage1), MAX_CHAINS)
         frac_reps = out["rep_cov"] / np.maximum(lens, 1)
         keep = out["keep"]
         qb, qe = out["qb"], out["qe"]
@@ -481,13 +482,14 @@ class BWAAligner:
                 res = self._sh_global(jnp.asarray(q), jnp.asarray(ql),
                                       jnp.asarray(t), jnp.asarray(tl))
             else:
-                res = global_and_traceback(
+                res = global_and_traceback_packed(
                     jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
                     jnp.asarray(tl),
                     o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
                     e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
                     band=band)
-            score, packed, nms = jax.device_get(res)
+            snm, packed = (np.asarray(res[0]), np.asarray(res[1]))
+            nms = snm[:, 1]
             dev_cigs = _ops_to_cigars_batch(
                 _unpack_ops(np.asarray(packed)), dev_rows.size)
             for k, m in enumerate(dev_rows):
@@ -521,6 +523,173 @@ class BWAAligner:
                 rid=rid, pos=pos, is_rev=is_rev, score=r.score,
                 mapq=mapq, secondary=r.secondary >= 0,
                 cigar=full, nm=nm, n_regs=len(regions[b])))
+        return hits_per_read
+
+    # ------------------------------------------------------------------
+    # fully fused single-dispatch path (device_full.align_full)
+    # ------------------------------------------------------------------
+
+    def _dispatch_full(self, enc: np.ndarray, lens: np.ndarray):
+        """ONE upload buffer + one dispatch for the whole batch."""
+        opt = self.options
+        enc_lens = np.concatenate(
+            [enc, lens.astype("<u4").view(np.uint8).reshape(-1, 4)],
+            axis=1)
+        return align_full(
+            self.fm, self.text_j, jnp.asarray(enc_lens),
+            l_pac=self.index.l_pac, max_seeds=MAX_SEEDS,
+            min_seed_len=opt.min_seed_len, max_occ=opt.max_occ,
+            k_occ=MAX_OCC_LOCATE, band=opt.w,
+            max_chain_gap=opt.max_chain_gap, drop_ratio=opt.drop_ratio,
+            max_chains=MAX_CHAINS, o_del=opt.o_del, e_del=opt.e_del,
+            o_ins=opt.o_ins, e_ins=opt.e_ins, match=opt.a,
+            mismatch=opt.b, pen_clip5=opt.pen_clip5,
+            pen_clip3=opt.pen_clip3, w=opt.w, zdrop=opt.zdrop,
+            T=opt.T, mask_level=opt.mask_level,
+            mask_level_redun=opt.mask_level_redun,
+            glob_band=2 * opt.w + 8)
+
+    def _mapq_vals(self, score, sub, sub_n, qspan, tspan, frac_rep):
+        """Float64 mem_approx_mapq_se (identical to _mapq) as scalars."""
+        opt = self.options
+        sub = sub if sub else opt.min_seed_len * opt.a
+        if sub >= score:
+            return 0
+        length = max(qspan, tspan)
+        identity = 1.0 - float(length * opt.a - score) \
+            / (opt.a + opt.b) / length
+        if score == 0:
+            return 0
+        tmp = 1.0 if length < opt.mapQ_coef_len \
+            else opt.mapQ_coef_fac / math.log(length)
+        tmp *= identity * identity
+        mapq = int(6.02 * (score - sub) / opt.a * tmp * tmp + 0.499)
+        if sub_n > 0:
+            mapq -= int(4.343 * math.log(sub_n + 1) + 0.499)
+        mapq = min(mapq, 60)
+        mapq = max(mapq, 0)
+        return int(mapq * (1.0 - frac_rep) + 0.499)
+
+    def _hits_from_full(self, enc, lens, res):
+        """Unpack align_full outputs into per-read hit dicts (the
+        fused equivalent of _collect_regions + _regions_to_hits)."""
+        opt = self.options
+        regions = np.asarray(res[0])
+        snm = np.asarray(res[1])
+        packed = np.asarray(res[2])
+        B = enc.shape[0]
+        C = MAX_CHAINS
+        fields = regions[:, :C * NFIELD].reshape(B, C, NFIELD)
+        rep_cov = regions[:, C * NFIELD]
+        n_regs = regions[:, C * NFIELD + 1]
+        self.stats["occ_clipped"] += int(regions[:, C * NFIELD + 2].sum())
+        self.stats["seeds_at_cap"] += int(regions[:, C * NFIELD + 3].sum())
+        self.stats["chains_at_cap"] += int(
+            (regions[:, C * NFIELD + 4] > MAX_CHAINS).sum())
+        # extension-stage DP slot overflow: the fused program's
+        # compacted extension dropped chains; redo the batch through
+        # the classic (uncompacted-capable) path
+        if B and int(regions[0, C * NFIELD + 6]) > B:
+            regs = self._collect_regions(enc, lens)[:B]
+            return self._regions_to_hits(enc, lens, [""] * B,
+                                         [""] * B, regs)
+        # batch cigar decode for every used DP row
+        n_dp = int(regions[0, C * NFIELD + 5]) if B else 0
+        cigs = _ops_to_cigars_batch(_unpack_ops(packed), n_dp) \
+            if n_dp else []
+
+        # host fallback for wide/overflow regions (rare)
+        fb_rows = []            # (b, j) needing a host global pass
+        flags = fields[:, :, 8]
+        live = (flags & FLAG_EMIT) != 0
+        scoref = fields[:, :, 4]
+        for b, j in zip(*np.nonzero(live & (scoref >= opt.T)
+                                    & ((flags & (FLAG_WIDE | FLAG_OVER))
+                                       != 0))):
+            fb_rows.append((b, j))
+            if flags[b, j] & FLAG_WIDE:
+                self.stats["regions_widened"] += 1
+        fb_cigs: dict[tuple, tuple] = {}
+        if fb_rows:
+            Lq = enc.shape[1]
+            Lt_wide = Lq + 512
+            keep_fb = []
+            for b, j in fb_rows:
+                if fields[b, j, 1] - fields[b, j, 0] <= Lq \
+                        and fields[b, j, 3] - fields[b, j, 2] <= Lt_wide:
+                    keep_fb.append((b, j))
+                else:
+                    self.stats["regions_dropped_wide"] += 1
+            if keep_fb:
+                M = _bucket(len(keep_fb))
+                q = np.full((M, Lq), 4, np.uint8)
+                t = np.full((M, Lt_wide), 4, np.uint8)
+                ql = np.zeros(M, np.int32)
+                tl = np.zeros(M, np.int32)
+                for k, (b, j) in enumerate(keep_fb):
+                    qb, qe, rb, re = fields[b, j, :4]
+                    ql[k] = qe - qb
+                    tl[k] = re - rb
+                    q[k, :ql[k]] = enc[b, qb:qe]
+                    t[k, :tl[k]] = self.text[rb:re]
+                r2 = global_and_traceback_packed(
+                    jnp.asarray(q), jnp.asarray(ql), jnp.asarray(t),
+                    jnp.asarray(tl), o_del=opt.o_del, e_del=opt.e_del,
+                    o_ins=opt.o_ins, e_ins=opt.e_ins, match=opt.a,
+                    mismatch=opt.b, band=Lt_wide + 8)
+                snm2 = np.asarray(r2[0])
+                c2 = _ops_to_cigars_batch(
+                    _unpack_ops(np.asarray(r2[1])), len(keep_fb))
+                for k, key in enumerate(keep_fb):
+                    fb_cigs[key] = (c2[k], int(snm2[k, 1]))
+
+        l_pac = self.index.l_pac
+        hits_per_read: list[list[dict]] = [[] for _ in range(B)]
+        for b in range(B):
+            frac_rep = float(rep_cov[b]) / max(int(lens[b]), 1)
+            for j in range(C):
+                fl = int(flags[b, j])
+                if not (fl & FLAG_EMIT):
+                    continue
+                qb, qe, rb, re, score = (int(fields[b, j, k])
+                                         for k in range(5))
+                if score < opt.T:
+                    continue
+                dprow = int(fields[b, j, 9])
+                if fl & FLAG_PERFECT:
+                    cig2l = [("M", qe - qb)]
+                    nm = 0
+                elif dprow >= 0:
+                    cig2l = cigs[dprow]
+                    nm = int(snm[dprow, 1])
+                elif (b, j) in fb_cigs:
+                    cig2l, nm = fb_cigs[(b, j)]
+                else:
+                    continue
+                is_rev = rb >= l_pac
+                L = int(lens[b])
+                if is_rev:
+                    cig_sam = list(reversed(cig2l))
+                    clip5, clip3 = L - qe, qb
+                    pos2l = 2 * l_pac - re
+                else:
+                    cig_sam = cig2l
+                    clip5, clip3 = qb, L - qe
+                    pos2l = rb
+                rid, pos = self.index.pos_to_ref(pos2l)
+                ref_len = self.index.ref.anns[rid].length
+                if pos + (re - rb) > ref_len:
+                    continue
+                full = ([("N", clip5)] if clip5 else []) + cig_sam \
+                    + ([("N", clip3)] if clip3 else [])
+                secondary = int(fields[b, j, 7]) >= 0
+                mapq = 0 if secondary else self._mapq_vals(
+                    score, int(fields[b, j, 5]), int(fields[b, j, 6]),
+                    qe - qb, re - rb, frac_rep)
+                hits_per_read[b].append(dict(
+                    rid=rid, pos=pos, is_rev=is_rev, score=score,
+                    mapq=mapq, secondary=secondary, cigar=full, nm=nm,
+                    n_regs=int(n_regs[b])))
         return hits_per_read
 
     # ------------------------------------------------------------------
@@ -566,10 +735,15 @@ class BWAAligner:
 
         with _fut.ThreadPoolExecutor(max(workers, 1)) as pool:
             inflight: list = []
+            fused = self.mesh is None and type(self) is BWAAligner
             for chunk in batches():
                 enc, lens = self._encode_batch([r.seq for r in chunk])
-                s1 = self._dispatch_stage1(
-                    jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
+                if fused:
+                    s1 = self._dispatch_full(enc, lens)
+                else:
+                    s1 = self._dispatch_stage1(
+                        jnp.asarray(enc),
+                        jnp.asarray(lens.astype(np.int32)))
                 inflight.append(pool.submit(finish,
                                             (chunk, enc, lens, s1)))
                 while len(inflight) >= max(workers, 1) + 1:
@@ -582,11 +756,18 @@ class BWAAligner:
         names = [r.name for r in chunk]
         seqs = [r.seq for r in chunk]
         B = len(chunk)
-        regions = self._collect_regions(enc, lens, stage1=s1)[:B]
-        if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
-            regions = [[r for r in rs if r.secondary < 0]
-                       for rs in regions]
-        hits = self._regions_to_hits(enc, lens, names, seqs, regions)
+        if self.mesh is None and type(self) is BWAAligner:
+            hits = self._hits_from_full(enc, lens, s1)
+            if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
+                hits = [[h for h in hs if not h["secondary"]]
+                        for hs in hits]
+        else:
+            regions = self._collect_regions(enc, lens, stage1=s1)[:B]
+            if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
+                regions = [[r for r in rs if r.secondary < 0]
+                           for rs in regions]
+            hits = self._regions_to_hits(enc, lens, names, seqs,
+                                         regions)
         for b in range(B):
             yield chunk[b], self._assemble_records(
                 seqs[b], names[b], hits[b], hardclip, keep_sec_frac,
@@ -602,12 +783,19 @@ class BWAAligner:
         if B == 0:
             return []
         enc, lens = self._encode_batch(seqs)
-        regions = self._collect_regions(enc, lens)[:B]
-        # keepSecFrac outside [0,1] drops secondaries before conversion
-        if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
-            regions = [[r for r in rs if r.secondary < 0] for rs in regions]
-        hits_per_read = self._regions_to_hits(enc, lens, names, seqs,
-                                              regions)
+        if self.mesh is None and type(self) is BWAAligner:
+            res = self._dispatch_full(enc, lens)
+            hits_per_read = self._hits_from_full(enc, lens, res)
+            if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
+                hits_per_read = [[h for h in hs if not h["secondary"]]
+                                 for hs in hits_per_read]
+        else:
+            regions = self._collect_regions(enc, lens)[:B]
+            if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
+                regions = [[r for r in rs if r.secondary < 0]
+                           for rs in regions]
+            hits_per_read = self._regions_to_hits(enc, lens, names,
+                                                  seqs, regions)
         out = []
         for b in range(B):
             out.append(self._assemble_records(

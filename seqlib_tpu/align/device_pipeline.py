@@ -491,10 +491,12 @@ def global_and_traceback(q, ql, t, tl,
         return (i - di, j - dj, new_state, ops, nm + add_nm, s + 1)
 
     def body(st):
-        # 4 walk steps per while iteration: amortizes the sequential
-        # loop's per-iteration dispatch cost (each step is a tiny
-        # gather; the walk is ~max(ql+tl) iterations otherwise)
-        return step(step(step(step(st))))
+        # 8 walk steps per while iteration: amortizes the sequential
+        # loop's per-iteration overhead (each step is a tiny gather;
+        # the walk is ~max(ql+tl) iterations otherwise)
+        for _ in range(8):
+            st = step(st)
+        return st
 
     init = (ql.astype(jnp.int32), tl.astype(jnp.int32),
             jnp.zeros(M, jnp.int32),
@@ -508,3 +510,67 @@ def global_and_traceback(q, ql, t, tl,
     packed = (q4[:, :, 0] | (q4[:, :, 1] << 2) | (q4[:, :, 2] << 4)
               | (q4[:, :, 3] << 6))
     return score, packed, nm
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "l_pac", "max_seeds", "min_seed_len", "max_occ", "k_occ",
+    "band", "max_chain_gap", "drop_ratio", "max_chains",
+    "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
+    "pen_clip5", "pen_clip3", "w", "zdrop"))
+def seed_chain_extend_packed(fm: DeviceFMIndex, text, reads, lens,
+                             l_pac: int, **kw):
+    """seed_chain_extend with every output packed into ONE int32
+    tensor [B, 10*C + 5] — a single device->host fetch.  Through a
+    remote device link (axon tunnel) each fetched buffer is a round
+    trip, which dominated e2e wall time at ~15 buffers per batch.
+
+    Column layout: qb, qe, rb, re, score, weight, keep, anchor_q,
+    anchor_len, anchor_r (C columns each), then rep_cov, n_dp,
+    occ_clip, seeds_full, n_seg (1 column each).
+    """
+    out = seed_chain_extend(fm, text, reads, lens, l_pac=l_pac, **kw)
+    B = reads.shape[0]
+    cols = [out[k].astype(jnp.int32) for k in
+            ("qb", "qe", "rb", "re", "score", "weight")]
+    cols.append(out["keep"].astype(jnp.int32))
+    cols += [out[k].astype(jnp.int32) for k in
+             ("anchor_q", "anchor_len", "anchor_r")]
+    ones = [out[k].astype(jnp.int32).reshape(B, -1)[:, :1] if out[k].ndim
+            else jnp.full((B, 1), out[k], jnp.int32) for k in ()]
+    extra = jnp.stack([
+        out["rep_cov"].astype(jnp.int32),
+        jnp.broadcast_to(out["n_dp"].astype(jnp.int32).reshape(-1)[:1],
+                         (B,)),
+        out["occ_clip"].astype(jnp.int32),
+        out["seeds_full"].astype(jnp.int32),
+        out["n_seg"].astype(jnp.int32)], axis=1)
+    return jnp.concatenate(cols + [extra], axis=1)
+
+
+def unpack_stage1(arr, max_chains: int):
+    """Host-side inverse of seed_chain_extend_packed (numpy)."""
+    import numpy as np
+    C = max_chains
+    names = ("qb", "qe", "rb", "re", "score", "weight", "keep",
+             "anchor_q", "anchor_len", "anchor_r")
+    out = {}
+    for i, k in enumerate(names):
+        out[k] = arr[:, i * C:(i + 1) * C]
+    base = 10 * C
+    out["rep_cov"] = arr[:, base]
+    out["n_dp"] = arr[:, base + 1]
+    out["occ_clip"] = arr[:, base + 2]
+    out["seeds_full"] = arr[:, base + 3]
+    out["n_seg"] = arr[:, base + 4]
+    out["keep"] = out["keep"].astype(bool)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch", "band"))
+def global_and_traceback_packed(q, ql, t, tl, **kw):
+    """global_and_traceback with (score, nm) stacked into one [M, 2]
+    int32 tensor — two device fetches per batch instead of three."""
+    score, packed, nm = global_and_traceback(q, ql, t, tl, **kw)
+    return jnp.stack([score.astype(jnp.int32),
+                      nm.astype(jnp.int32)], axis=1), packed

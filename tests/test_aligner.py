@@ -387,10 +387,12 @@ def test_dp_slot_overflow_fallback(tiny_seqs):
     aln = BWAAligner(FMIndex.construct(tiny_seqs))
     recs_c = aln.align_sequence(clean, "clean")
     enc, lens = aln._encode_batch([clean])
-    out = __import__("jax").device_get(aln._dispatch_stage1(
-        __import__("jax.numpy", fromlist=["asarray"]).asarray(enc),
-        __import__("jax.numpy", fromlist=["asarray"]).asarray(
-            lens.astype(np.int32))))
+    from seqlib_tpu.align.aligner import MAX_CHAINS
+    from seqlib_tpu.align.device_pipeline import unpack_stage1
+    jnp_ = __import__("jax.numpy", fromlist=["asarray"])
+    packed = aln._dispatch_stage1(
+        jnp_.asarray(enc), jnp_.asarray(lens.astype(np.int32)))
+    out = unpack_stage1(np.asarray(packed), MAX_CHAINS)
     qb, qe, rb, re, sc = aln._extend_uncompacted(enc, lens, out)
     keep = out["keep"]
     assert (qb[keep] == out["qb"][keep]).all()
