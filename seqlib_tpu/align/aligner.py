@@ -155,6 +155,10 @@ class BWAAligner:
         self.stats = dict(seeds_at_cap=0, occ_clipped=0,
                           chains_at_cap=0, regs_truncated=0,
                           regions_widened=0, regions_dropped_wide=0)
+        self._ann_offs = np.array([a.offset for a in index.ref.anns],
+                                  dtype=np.int64)
+        self._ann_lens = np.array([a.length for a in index.ref.anns],
+                                  dtype=np.int64)
         if mesh is not None:
             self._build_sharded_stages()
 
@@ -644,52 +648,81 @@ class BWAAligner:
                     fb_cigs[key] = (c2[k], int(snm2[k, 1]))
 
         l_pac = self.index.l_pac
+        # vectorized per-slot math (the B*C Python loop was the fused
+        # path's host bottleneck); Python touches only emitted slots
+        qb_a = fields[:, :, 0]; qe_a = fields[:, :, 1]
+        rb_a = fields[:, :, 2]; re_a = fields[:, :, 3]
+        sc_a = fields[:, :, 4]
+        emit = live & (sc_a >= opt.T)
+        dprow_a = fields[:, :, 9]
+        has_cig = (dprow_a >= 0) | ((flags & FLAG_PERFECT) != 0)
+        is_rev = rb_a >= l_pac
+        L_a = lens[:, None].astype(np.int64)
+        clip5 = np.where(is_rev, L_a - qe_a, qb_a)
+        clip3 = np.where(is_rev, qb_a, L_a - qe_a)
+        pos2l = np.where(is_rev, 2 * l_pac - re_a, rb_a)
+        offs = self._ann_offs
+        rid_a = np.searchsorted(offs, pos2l, side="right") - 1
+        pos_a = pos2l - offs[rid_a]
+        ref_len = self._ann_lens[rid_a]
+        in_contig = pos_a + (re_a - rb_a) <= ref_len
+        sec_mask = fields[:, :, 7] >= 0
+        # vectorized float64 mem_approx_mapq_se
+        sub_a2 = np.where(fields[:, :, 5] > 0, fields[:, :, 5],
+                          opt.min_seed_len * opt.a).astype(np.float64)
+        length = np.maximum(qe_a - qb_a, re_a - rb_a).astype(np.float64)
+        length = np.maximum(length, 1.0)
+        ident = 1.0 - (length * opt.a - sc_a) / (opt.a + opt.b) / length
+        tmp = np.where(length < opt.mapQ_coef_len, 1.0,
+                       opt.mapQ_coef_fac / np.log(np.maximum(length, 2.0)))
+        tmp = tmp * ident * ident
+        mq = (6.02 * (sc_a - sub_a2) / opt.a * tmp * tmp
+              + 0.499).astype(np.int64)
+        subn_f = fields[:, :, 6]
+        mq = mq - np.where(subn_f > 0,
+                           (4.343 * np.log(subn_f + 1) + 0.499)
+                           .astype(np.int64), 0)
+        mq = np.clip(mq, 0, 60)
+        frac = rep_cov.astype(np.float64) / np.maximum(lens, 1)[:B]
+        mq = (mq * (1.0 - frac[:, None]) + 0.499).astype(np.int64)
+        mq = np.where(sub_a2 >= sc_a, 0, mq)
+        mq = np.where(sec_mask, 0, mq)
+
         hits_per_read: list[list[dict]] = [[] for _ in range(B)]
-        for b in range(B):
-            frac_rep = float(rep_cov[b]) / max(int(lens[b]), 1)
-            for j in range(C):
-                fl = int(flags[b, j])
-                if not (fl & FLAG_EMIT):
-                    continue
-                qb, qe, rb, re, score = (int(fields[b, j, k])
-                                         for k in range(5))
-                if score < opt.T:
-                    continue
-                dprow = int(fields[b, j, 9])
-                if fl & FLAG_PERFECT:
-                    cig2l = [("M", qe - qb)]
-                    nm = 0
-                elif dprow >= 0:
-                    cig2l = cigs[dprow]
-                    nm = int(snm[dprow, 1])
-                elif (b, j) in fb_cigs:
-                    cig2l, nm = fb_cigs[(b, j)]
-                else:
-                    continue
-                is_rev = rb >= l_pac
-                L = int(lens[b])
-                if is_rev:
-                    cig_sam = list(reversed(cig2l))
-                    clip5, clip3 = L - qe, qb
-                    pos2l = 2 * l_pac - re
-                else:
-                    cig_sam = cig2l
-                    clip5, clip3 = qb, L - qe
-                    pos2l = rb
-                rid, pos = self.index.pos_to_ref(pos2l)
-                ref_len = self.index.ref.anns[rid].length
-                if pos + (re - rb) > ref_len:
-                    continue
-                full = ([("N", clip5)] if clip5 else []) + cig_sam \
-                    + ([("N", clip3)] if clip3 else [])
-                secondary = int(fields[b, j, 7]) >= 0
-                mapq = 0 if secondary else self._mapq_vals(
-                    score, int(fields[b, j, 5]), int(fields[b, j, 6]),
-                    qe - qb, re - rb, frac_rep)
-                hits_per_read[b].append(dict(
-                    rid=rid, pos=pos, is_rev=is_rev, score=score,
-                    mapq=mapq, secondary=secondary, cigar=full, nm=nm,
-                    n_regs=int(n_regs[b])))
+        for b, j in zip(*np.nonzero(emit & has_cig & in_contig)):
+            fl = int(flags[b, j])
+            if fl & FLAG_PERFECT:
+                cig2l = [("M", int(qe_a[b, j] - qb_a[b, j]))]
+                nm = 0
+            else:
+                d = int(dprow_a[b, j])
+                cig2l = cigs[d]
+                nm = int(snm[d, 1])
+            if is_rev[b, j]:
+                cig_sam = list(reversed(cig2l))
+            else:
+                cig_sam = cig2l
+            c5, c3 = int(clip5[b, j]), int(clip3[b, j])
+            full = ([("N", c5)] if c5 else []) + cig_sam \
+                + ([("N", c3)] if c3 else [])
+            hits_per_read[b].append(dict(
+                rid=int(rid_a[b, j]), pos=int(pos_a[b, j]),
+                is_rev=bool(is_rev[b, j]), score=int(sc_a[b, j]),
+                mapq=int(mq[b, j]), secondary=bool(sec_mask[b, j]),
+                cigar=full, nm=nm, n_regs=int(n_regs[b])))
+        # fallback-path regions (wide/overflow) enter via fb_cigs
+        for (b, j), (cig2l, nm) in fb_cigs.items():
+            if not in_contig[b, j]:
+                continue
+            cig_sam = list(reversed(cig2l)) if is_rev[b, j] else cig2l
+            c5, c3 = int(clip5[b, j]), int(clip3[b, j])
+            full = ([("N", c5)] if c5 else []) + cig_sam \
+                + ([("N", c3)] if c3 else [])
+            hits_per_read[b].append(dict(
+                rid=int(rid_a[b, j]), pos=int(pos_a[b, j]),
+                is_rev=bool(is_rev[b, j]), score=int(sc_a[b, j]),
+                mapq=int(mq[b, j]), secondary=bool(sec_mask[b, j]),
+                cigar=full, nm=nm, n_regs=int(n_regs[b])))
         return hits_per_read
 
     # ------------------------------------------------------------------

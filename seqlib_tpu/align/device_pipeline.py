@@ -135,36 +135,24 @@ def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
     diag = jnp.where(ovalid, opos - oqb.astype(jnp.int32), 0)
     spos = jnp.where(ovalid, opos, jnp.int32(2**30))
 
-    # stable lexsort by (strand, diag, pos): successive stable argsorts
-    # from least-significant key.  When (strand, diag) packs into one
-    # int32 (l_pac < 2^28), two sorts suffice.
-    o1 = jnp.argsort(spos, axis=1, stable=True)
+    # ONE stable lexicographic sort carrying the payload directly
+    # (lax.sort with num_keys; the previous 2-3 argsort+gather rounds
+    # were the chain stage's hot spot on TPU)
+    pl = (oqb.astype(jnp.int32) << 16) | olen
     if 2 * l_pac + 1024 < 2**29:
         key2 = (strand << 29) | jnp.where(ovalid, diag + 1024, 0)
-        k2 = jnp.take_along_axis(key2, o1, axis=1)
-        o2 = jnp.argsort(k2, axis=1, stable=True)
-        order = jnp.take_along_axis(o1, o2, axis=1)
-        k2s = jnp.take_along_axis(k2, o2, axis=1)
+        k2s, s_pos, s_pl = jax.lax.sort(
+            (key2, spos, pl), dimension=1, num_keys=2, is_stable=True)
         s_strand = k2s >> 29
         s_diag = (k2s & (2**29 - 1)) - 1024
         s_valid = s_strand != 3
     else:
-        k2 = jnp.take_along_axis(diag, o1, axis=1)
-        o2 = jnp.argsort(k2, axis=1, stable=True)
-        o12 = jnp.take_along_axis(o1, o2, axis=1)
-        k3 = jnp.take_along_axis(strand, o12, axis=1)
-        o3 = jnp.argsort(k3, axis=1, stable=True)
-        order = jnp.take_along_axis(o12, o3, axis=1)
-        s_strand = jnp.take_along_axis(strand, order, axis=1)
-        s_diag = jnp.take_along_axis(diag, order, axis=1)
-        s_valid = jnp.take_along_axis(ovalid, order, axis=1)
-
-    # (qb, len) packed: one gather instead of two
-    pl = (oqb.astype(jnp.int32) << 16) | olen
-    s_pl = jnp.take_along_axis(pl, order, axis=1)
+        s_strand, s_diag, s_pos, s_pl = jax.lax.sort(
+            (strand, diag, spos, pl), dimension=1, num_keys=3,
+            is_stable=True)
+        s_valid = s_strand != 3
     s_qb = s_pl >> 16
     s_len = s_pl & 0xffff
-    s_pos = jnp.take_along_axis(spos, order, axis=1)
 
     brk = jnp.ones((B, N), dtype=bool)
     brk = brk.at[:, 1:].set(

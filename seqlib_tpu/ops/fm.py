@@ -177,21 +177,23 @@ def collect_seeds(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
         intv_sz=jnp.zeros((B, max_seeds), jnp.int32),
     )
 
+    s_iota = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+
     def emit(st, active, force):
-        """Emit [p+1, e] as a seed where interval nonempty & long enough."""
+        """Emit [p+1, e] as a seed where interval nonempty & long enough.
+
+        The slot write is a one-hot select over the [B, max_seeds]
+        seed arrays — batched scatters serialized badly on TPU."""
         slen = st["e"] - st["p"]
         ok = active & force & (slen >= min_seed_len) & \
             (st["u"] > st["l"]) & (st["n"] < max_seeds)
-        sl = jnp.where(ok, st["n"], max_seeds - 1)
-        bidx = jnp.arange(B)
-        def setcol(arr, val):
-            return arr.at[bidx, sl].set(
-                jnp.where(ok, val, arr[bidx, sl]))
+        hot = ok[:, None] & (s_iota == st["n"][:, None])   # [B, S]
         st = dict(st)
-        st["qbeg"] = setcol(st["qbeg"], st["p"] + 1)
-        st["qend"] = setcol(st["qend"], st["e"] + 1)
-        st["intv_l"] = setcol(st["intv_l"], st["l"])
-        st["intv_sz"] = setcol(st["intv_sz"], st["u"] - st["l"])
+        st["qbeg"] = jnp.where(hot, (st["p"] + 1)[:, None], st["qbeg"])
+        st["qend"] = jnp.where(hot, (st["e"] + 1)[:, None], st["qend"])
+        st["intv_l"] = jnp.where(hot, st["l"][:, None], st["intv_l"])
+        st["intv_sz"] = jnp.where(hot, (st["u"] - st["l"])[:, None],
+                                  st["intv_sz"])
         st["n"] = st["n"] + ok.astype(jnp.int32)
         return st
 
