@@ -56,10 +56,10 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
     longest near-unique seed) + ``rep_cov`` [B] query bases covered by
     over-max_occ seeds (for frac_rep in the MAPQ formula).
     """
-    from ..ops.fm import reseed_scan
+    from ..ops.fm import smem_collect, smem_reseed
     B = reads.shape[0]
-    seeds = collect_seeds(fm, reads, lens, max_seeds=max_seeds,
-                          min_seed_len=min_seed_len)
+    seeds = smem_collect(fm, reads, lens, max_seeds=max_seeds,
+                         min_seed_len=min_seed_len)
     n, sz, il = seeds["n_seeds"], seeds["intv_sz"], seeds["intv_l"]
     qb_s, qe_s = seeds["qbeg"], seeds["qend"]
     s_idx = jnp.arange(max_seeds)[None, :]
@@ -73,8 +73,8 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
     pick = jnp.argmax(jnp.where(qualifies, seed_len, -1), axis=1)
     bidx = jnp.arange(B)
     r_active = qualifies[bidx, pick]
-    r_qb, r_qe, r_il, r_sz = reseed_scan(
-        fm, reads, qb_s[bidx, pick], qe_s[bidx, pick],
+    r_qb, r_qe, r_il, r_sz = smem_reseed(
+        fm, reads, lens, qb_s[bidx, pick], qe_s[bidx, pick],
         sz[bidx, pick], r_active, min_seed_len=min_seed_len)
 
     # append the re-seed as an extra seed column
@@ -98,7 +98,9 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
     occ_clip = jnp.sum(jnp.where(valid_all,
                                  jnp.maximum(sz_all - k_occ, 0), 0),
                        axis=1)
-    seeds_full = (n >= max_seeds).astype(jnp.int32)
+    # exact truncation telemetry: SMEMs that passed the length filter
+    # but found every one of the max_seeds slots taken
+    seeds_full = (seeds["n_dropped"] > 0).astype(jnp.int32)
     # only what the host chaining needs crosses the link
     return dict(qbeg=qb_all, qend=qe_all, pos=pos, rep_cov=rep_cov,
                 occ_clip=occ_clip, seeds_full=seeds_full)
