@@ -364,18 +364,23 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
                          o_del=o_del, e_del=e_del, o_ins=o_ins,
                          e_ins=e_ins, match=match, mismatch=mismatch,
                          zdrop=zdrop)
-    # clip decision (read 5'): local vs to-end
+    # clip decision (read 5'): local vs to-end.  ksw_extend seeds its
+    # running max with h0 and only extends on a STRICT improvement —
+    # the kernel's max excludes the zero-extension cell, so apply that
+    # guard here (covers both the XLA and Pallas kernels).
     no_left = lq == 0
+    ext_l = out_l["score"] > h0
+    loc_l = jnp.maximum(out_l["score"], h0)
     use_gl = (out_l["gscore"] > 0) \
-        & (out_l["gscore"] > out_l["score"] - pen_clip5)
+        & (out_l["gscore"] > loc_l - pen_clip5)
     qb = jnp.where(no_left, aq,
-                   jnp.where(use_gl, 0, aq - out_l["qle"]))
+                   jnp.where(use_gl, 0,
+                             jnp.where(ext_l, aq - out_l["qle"], aq)))
     rb = jnp.where(no_left, ar,
                    jnp.where(use_gl, ar - out_l["gtle"],
-                             ar - out_l["tle"]))
+                             jnp.where(ext_l, ar - out_l["tle"], ar)))
     score_l = jnp.where(no_left, h0,
-                        jnp.where(use_gl, out_l["gscore"],
-                                  out_l["score"]))
+                        jnp.where(use_gl, out_l["gscore"], loc_l))
 
     # ---- right --------------------------------------------------------
     qstart = aq + alen
@@ -396,16 +401,20 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
                          e_ins=e_ins, match=match, mismatch=mismatch,
                          zdrop=zdrop)
     no_right = rlen == 0
+    ext_r = out_r["score"] > score_l
+    loc_r = jnp.maximum(out_r["score"], score_l)
     use_gr = (out_r["gscore"] > 0) \
-        & (out_r["gscore"] > out_r["score"] - pen_clip3)
+        & (out_r["gscore"] > loc_r - pen_clip3)
     qe = jnp.where(no_right, qstart,
-                   jnp.where(use_gr, rlens, qstart + out_r["qle"]))
+                   jnp.where(use_gr, rlens,
+                             jnp.where(ext_r, qstart + out_r["qle"],
+                                       qstart)))
     re = jnp.where(no_right, rstart,
                    jnp.where(use_gr, rstart + out_r["gtle"],
-                             rstart + out_r["tle"]))
+                             jnp.where(ext_r, rstart + out_r["tle"],
+                                       rstart)))
     score = jnp.where(no_right, score_l,
-                      jnp.where(use_gr, out_r["gscore"],
-                                out_r["score"]))
+                      jnp.where(use_gr, out_r["gscore"], loc_r))
     return (qb.astype(jnp.int32), qe.astype(jnp.int32),
             rb.astype(jnp.int32), re.astype(jnp.int32),
             score.astype(jnp.int32))
