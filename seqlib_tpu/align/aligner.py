@@ -49,6 +49,9 @@ MAX_CHAINS = 4          # chains extended per read
 MAX_REGS = 8            # alignment regions kept per read
 
 
+from .device_full import _hash64  # bwa hash_64 tie-break (shared)
+
+
 @dataclass
 class AlnReg:
     """mem_alnreg_t equivalent (coordinates in 2L text space).
@@ -358,6 +361,15 @@ class BWAAligner:
                         break
             if not dup:
                 out.append(r)
+        # bwa's mem_mark_primary_se walk order: score desc, equal
+        # scores broken by hash_64(id + i) where i is the region's
+        # index in the post-dedup POSITION-sorted array (id = 0 for
+        # single-end marking).  This pins which of two equal-score
+        # ambiguous hits becomes primary exactly like the reference
+        # (seq_test.cpp:893-911 expects the reverse-strand hit).
+        rank = {id(r): k for k, r in enumerate(
+            sorted(out, key=lambda r: (key(r)[0], r.qb, key(r)[1])))}
+        out.sort(key=lambda r: (-r.score, _hash64(rank[id(r)])))
         # mark primary/secondary by query overlap
         kept: list[int] = []
         for i, r in enumerate(out):

@@ -41,10 +41,33 @@ FLAG_OVER = 4          # no DP slot left (host path)
 FLAG_PERFECT = 8       # exact match: CIGAR = one M run, NM 0
 
 
+_M64 = (1 << 64) - 1
+
+
+def _hash64(key: int) -> int:
+    """Thomas Wang's 64-bit mix (bwa's hash_64): the equal-score
+    tie-break used by mem_mark_primary_se."""
+    key = (key + (~(key << 32) & _M64)) & _M64
+    key ^= key >> 22
+    key = (key + (~(key << 13) & _M64)) & _M64
+    key ^= key >> 8
+    key = (key + (key << 3)) & _M64
+    key ^= key >> 15
+    key = (key + (~(key << 27) & _M64)) & _M64
+    key ^= key >> 31
+    return key
+
+
 def _stable_order(score, rb, qb, re, valid):
-    """Per-read order by (-score, rb, qb, re) with invalid slots last
-    (lexsort emulation via successive stable argsorts)."""
+    """Per-read walk order for dedup + primary marking: score desc,
+    equal scores broken by hash_64(positional rank) — bwa's
+    mem_mark_primary_se order, where the rank is the region's index in
+    the position-sorted (post-mem_sort_dedup_patch) array and id = 0.
+    Invalid slots sort last (lexsort emulation via successive stable
+    argsorts)."""
+    import numpy as _np
     BIG = jnp.int32(0x3FFFFFFF)
+    C = score.shape[1]
     k_re = jnp.where(valid, re, BIG)
     k_qb = jnp.where(valid, qb, BIG)
     k_rb = jnp.where(valid, rb, BIG)
@@ -57,7 +80,12 @@ def _stable_order(score, rb, qb, re, valid):
         return jnp.take_along_axis(order, o2, axis=1)
 
     order = resort(order, k_qb)
-    order = resort(order, k_rb)
+    order = resort(order, k_rb)          # positional (rb, qb, re) order
+    rank = jnp.argsort(order, axis=1)    # slot -> positional rank
+    hashes = _np.array([_hash64(i) for i in range(C)])
+    hrank = jnp.asarray(_np.argsort(_np.argsort(hashes)), jnp.int32)
+    k_tie = jnp.where(valid, hrank[rank], BIG)
+    order = jnp.argsort(k_tie, axis=1, stable=True)
     order = resort(order, k_sc)
     return order
 
