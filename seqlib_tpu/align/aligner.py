@@ -272,7 +272,8 @@ class BWAAligner:
         score, weight = out["score"], out["weight"]
         # rare: more non-trivial chains than device DP slots — the
         # compacted extension dropped some; redo extension uncompacted
-        limit = B // max(self.n_shards, 1)
+        from .device_pipeline import dp_rows
+        limit = dp_rows(B // max(self.n_shards, 1))
         if (np.atleast_1d(out["n_dp"]) > limit).any():
             qb, qe, rb, re, score = self._extend_uncompacted(
                 enc, lens, out)
@@ -362,14 +363,16 @@ class BWAAligner:
             if not dup:
                 out.append(r)
         # bwa's mem_mark_primary_se walk order: score desc, equal
-        # scores broken by hash_64(id + i) where i is the region's
-        # index in the post-dedup POSITION-sorted array (id = 0 for
-        # single-end marking).  This pins which of two equal-score
-        # ambiguous hits becomes primary exactly like the reference
+        # scores broken by hash_64(id + i), where i is the region's
+        # index in the post-dedup array — which mem_sort_dedup_patch
+        # leaves sorted by (score desc, rb, qb), exactly ``out``'s
+        # order here — and id = 0 (mem_align1 passes 0; a caller-chosen
+        # id would shuffle equal-score ties deterministically).  This
+        # pins which of two equal-score ambiguous hits becomes primary
         # (seq_test.cpp:893-911 expects the reverse-strand hit).
-        rank = {id(r): k for k, r in enumerate(
-            sorted(out, key=lambda r: (key(r)[0], r.qb, key(r)[1])))}
-        out.sort(key=lambda r: (-r.score, _hash64(rank[id(r)])))
+        ranked = sorted(enumerate(out),
+                        key=lambda t: (-t[1].score, _hash64(t[0])))
+        out = [r for _, r in ranked]
         # mark primary/secondary by query overlap
         kept: list[int] = []
         for i, r in enumerate(out):
@@ -605,7 +608,8 @@ class BWAAligner:
         # extension-stage DP slot overflow: the fused program's
         # compacted extension dropped chains; redo the batch through
         # the classic (uncompacted-capable) path
-        if B and int(regions[0, C * NFIELD + 6]) > B:
+        from .device_pipeline import dp_rows
+        if B and int(regions[0, C * NFIELD + 6]) > dp_rows(B):
             regs = self._collect_regions(enc, lens)[:B]
             return self._regions_to_hits(enc, lens, [""] * B,
                                          [""] * B, regs)

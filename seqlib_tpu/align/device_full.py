@@ -17,9 +17,9 @@ hardware the fusion removes host<->device synchronisation stalls the
 same way.
 
 Region slots per read stay C = max_chains; deduped regions are
-compacted into M2 = 2*B global-DP rows (overflow and >narrow-window
-spans are flagged for the host's fallback paths, never dropped
-silently).
+compacted into M2 = dp_rows(B) global-DP rows (overflow and
+>narrow-window spans are flagged for the host's fallback paths, never
+dropped silently).
 """
 
 from __future__ import annotations
@@ -29,7 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .device_pipeline import global_and_traceback, seed_chain_extend
+from .device_pipeline import (dp_rows, global_and_traceback,
+                              seed_chain_extend)
 
 # field indices of the per-region output block
 F_QB, F_QE, F_RB, F_RE, F_SCORE, F_SUB, F_SUBN, F_SEC, F_FLAGS, \
@@ -58,35 +59,44 @@ def _hash64(key: int) -> int:
     return key
 
 
-def _stable_order(score, rb, qb, re, valid):
-    """Per-read walk order for dedup + primary marking: score desc,
-    equal scores broken by hash_64(positional rank) — bwa's
-    mem_mark_primary_se order, where the rank is the region's index in
-    the position-sorted (post-mem_sort_dedup_patch) array and id = 0.
-    Invalid slots sort last (lexsort emulation via successive stable
-    argsorts)."""
+def _resort(order, key):
+    """One pass of a stable lexsort emulation: refine ``order`` by a
+    new (less significant keys already applied) sort key."""
+    k = jnp.take_along_axis(key, order, axis=1)
+    o2 = jnp.argsort(k, axis=1, stable=True)
+    return jnp.take_along_axis(order, o2, axis=1)
+
+
+def _dedup_walk_order(score, rb, qb, re, valid):
+    """Per-read dedup walk order: (-score, rb, qb, re), invalid slots
+    last — bwa's mem_sort_dedup_patch array order (mem_ars sort), which
+    is also the basis for the primary-marking hash rank (successive
+    stable argsorts emulate a lexsort)."""
+    BIG = jnp.int32(0x3FFFFFFF)
+    order = jnp.argsort(jnp.where(valid, re, BIG), axis=1, stable=True)
+    order = _resort(order, jnp.where(valid, qb, BIG))
+    order = _resort(order, jnp.where(valid, rb, BIG))
+    order = _resort(order, jnp.where(valid, -score, BIG))
+    return order
+
+
+def _mark_walk_order(score, live):
+    """Post-dedup primary-marking order (bwa mem_mark_primary_se with
+    id = 0): score desc, ties broken by hash_64(i) where i is the
+    region's index in the post-dedup (-score, rb, qb) array — the
+    caller's CURRENT slot order with dup slots masked out.  Mirrors
+    aligner._dedup_and_mark exactly (the round-2 version ranked
+    pre-dedup slots, which could disagree with the host path when
+    duplicates were present — ADVICE r2)."""
     import numpy as _np
     BIG = jnp.int32(0x3FFFFFFF)
     C = score.shape[1]
-    k_re = jnp.where(valid, re, BIG)
-    k_qb = jnp.where(valid, qb, BIG)
-    k_rb = jnp.where(valid, rb, BIG)
-    k_sc = jnp.where(valid, -score, BIG)
-    order = jnp.argsort(k_re, axis=1, stable=True)
-
-    def resort(order, key):
-        k = jnp.take_along_axis(key, order, axis=1)
-        o2 = jnp.argsort(k, axis=1, stable=True)
-        return jnp.take_along_axis(order, o2, axis=1)
-
-    order = resort(order, k_qb)
-    order = resort(order, k_rb)          # positional (rb, qb, re) order
-    rank = jnp.argsort(order, axis=1)    # slot -> positional rank
+    rank = jnp.cumsum(live.astype(jnp.int32), axis=1) - 1
     hashes = _np.array([_hash64(i) for i in range(C)])
     hrank = jnp.asarray(_np.argsort(_np.argsort(hashes)), jnp.int32)
-    k_tie = jnp.where(valid, hrank[rank], BIG)
+    k_tie = jnp.where(live, hrank[jnp.clip(rank, 0, C - 1)], BIG)
     order = jnp.argsort(k_tie, axis=1, stable=True)
-    order = resort(order, k_sc)
+    order = _resort(order, jnp.where(live, -score, BIG))
     return order
 
 
@@ -132,14 +142,15 @@ def align_full(fm, text, enc_lens, l_pac: int,
     rb0, re0 = out["rb"], out["re"]
     sc0 = out["score"]
 
-    order = _stable_order(sc0, rb0, qb0, re0, valid0)
+    order1 = _dedup_walk_order(sc0, rb0, qb0, re0, valid0)
 
-    def pick(x):
+    def pick(x, order):
         return jnp.take_along_axis(x, order, axis=1)
 
-    qb, qe, rb, re = pick(qb0), pick(qe0), pick(rb0), pick(re0)
-    score = pick(sc0)
-    valid = jnp.take_along_axis(valid0, order, axis=1)
+    qb, qe = pick(qb0, order1), pick(qe0, order1)
+    rb, re = pick(rb0, order1), pick(re0, order1)
+    score = pick(sc0, order1)
+    valid = pick(valid0, order1)
 
     # ---- mem_sort_dedup_patch (host _dedup_and_mark part 1) ----------
     dup = jnp.zeros((B, C), bool)
@@ -159,12 +170,20 @@ def align_full(fm, text, enc_lens, l_pac: int,
             dj = dj | (valid[:, i] & ~dup[:, i] & o)
         dup = dup.at[:, j].set(dup[:, j] | (valid[:, j] & dj))
 
+    # re-sort for the marking walk: hash rank over POST-dedup survivors
+    # only (same rank basis as the host path)
+    order2 = _mark_walk_order(score, valid & ~dup)
+    qb, qe = pick(qb, order2), pick(qe, order2)
+    rb, re = pick(rb, order2), pick(re, order2)
+    score = pick(score, order2)
+    live_m = pick(valid & ~dup, order2)
+
     # ---- mem_mark_primary_se (part 2) --------------------------------
     NEG1 = jnp.full((B,), -1, jnp.int32)
     sec = [NEG1 for _ in range(C)]
     sub = [jnp.zeros((B,), jnp.int32) for _ in range(C)]
     subn = [jnp.zeros((B,), jnp.int32) for _ in range(C)]
-    live = [valid[:, j] & ~dup[:, j] for j in range(C)]
+    live = [live_m[:, j] for j in range(C)]
     for j in range(1, C):
         placed = jnp.zeros((B,), bool)
         for i in range(j):
@@ -199,7 +218,7 @@ def align_full(fm, text, enc_lens, l_pac: int,
     perfect = live_a & (score == span_q * match) & (span_t == span_q)
     need = (live_a & ~wide & ~perfect & (score >= T)).reshape(-1)
     dest = jnp.cumsum(need.astype(jnp.int32)) - 1
-    M2 = B
+    M2 = dp_rows(B)
     over = need & (dest >= M2)
     scat = jnp.where(need & ~over, dest, M2)
     src_b = jnp.broadcast_to(

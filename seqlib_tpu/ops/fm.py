@@ -317,6 +317,9 @@ def sa_lookup(fm: DeviceFMIndex, ranks: jax.Array) -> jax.Array:
     row, with a generous safety cap.
     """
     r0 = jnp.maximum(ranks, 0).astype(jnp.int32)
+    if fm.sa_intv == 1:        # full SA resident: a single gather
+        pos = jnp.where(r0 == fm.primary, 0, fm.sa_samples[r0])
+        return jnp.where(ranks < 0, -1, pos)
     done0 = (r0 % fm.sa_intv == 0) | (r0 == fm.primary)
 
     def cond(carry):
@@ -404,160 +407,229 @@ def _take4(a4: jax.Array, c: jax.Array) -> jax.Array:
         jnp.where(c == 2, a4[..., 2], a4[..., 3]))
 
 
-def _smem_push(cur: dict, mask: jax.Array, k, l, s, e, C: int) -> dict:
-    """Push (k,l,s,end) onto each lane's forward-phase stack where
-    mask; a full stack drops its OLDEST entry (largest interval,
-    shortest end — its backward-extended SMEMs are the ones min_seed_len
-    filters anyway)."""
-    full = mask & (cur["cn"] >= C)
-    cur = dict(cur)
-    for nm in ("ck", "cl", "cs", "ce"):
-        cur[nm] = jnp.where(full[:, None],
-                            jnp.roll(cur[nm], -1, axis=1), cur[nm])
-    pos = jnp.minimum(cur["cn"], C - 1)
-    hot = mask[:, None] & (jnp.arange(C)[None, :] == pos[:, None])
-    for nm, v in (("ck", k), ("cl", l), ("cs", s), ("ce", e)):
-        cur[nm] = jnp.where(hot, v[:, None], cur[nm])
-    cur["cn"] = jnp.minimum(cur["cn"] + mask.astype(jnp.int32), C)
-    return cur
+_M_INIT, _M_FWD, _M_BWD, _M_DONE = 0, 1, 2, 3
 
 
-def _smem_round(fm: DeviceFMIndex, reads, lens, x, min_intv, active,
-                acc: dict, min_seed_len: int, max_seeds: int, C: int):
-    """One bwt_smem1 call, lockstep over the batch: collect every SMEM
-    passing through pivot x (where active), append those of length >=
-    min_seed_len and interval size >= min_intv into acc, and return
-    (acc, ret_x) with ret_x = end of the longest forward extension
-    (bwa's return value, the next pivot)."""
+def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
+                  max_seeds: int, min_seed_len: int, C: int,
+                  max_rounds: int, step_cap: int):
+    """Lockstep per-lane SMEM state machine — ONE flat while_loop, ONE
+    scalar-per-lane FMD extension per step.
+
+    Each lane independently walks bwa's ``mem_collect_intv`` round
+    structure (``bwt_smem1`` per pivot: forward bi-extension pushing an
+    interval on every size drop, then a backward sweep emitting maximal
+    matches; next pivot = end of the longest forward extension).
+
+    Two structural deviations from the C loop nest, chosen from
+    measured TPU cost (docs/SEED_MACHINE.md):
+
+    * The 3-deep while nest (rounds > fwd/bwd phases) is flattened to a
+      per-lane (INIT|FWD|BWD|DONE) machine, so the trip count is the
+      max of per-lane TOTALS (~256 for a 2048x150bp wgsim batch), not
+      the sum of per-phase batch maxima.
+    * The backward sweep processes its stack entries SEQUENTIALLY
+      (entry j+1 restarts at the pivot after entry j dies) instead of
+      extending all C entries in lockstep: per-step rank volume drops
+      from [B, C] to [B], which is ~4x cheaper on this hardware while
+      typical sweeps are 1-3 steps.  bwa's emission rule — a dying
+      entry emits only when no longer-end entry survived the same step
+      and the start is not contained in the previous emission — is
+      equivalent, for nested entries with non-decreasing sizes, to
+      "emit iff this entry died strictly deeper than the previous
+      emission", a scalar ``last_i`` check (proof in
+      docs/SEED_MACHINE.md).
+
+    Semantics are pinned by tests/test_smem.py's brute-force oracle.
+
+    x0 [B]: initial pivot per lane.  min_intv [B]: minimum interval
+    size (1 for plain collection; occ+1 for re-seeding).  max_rounds
+    bounds rounds per lane (L = unbounded; 1 = re-seed).  step_cap
+    bounds total machine steps; lanes still unfinished are counted in
+    n_dropped (telemetry, never silent).
+
+    Returns dict(qbeg, qend, intv_l, intv_sz [B, max_seeds], n_seeds,
+    n_dropped [B]).
+    """
     B, L = reads.shape
     bidx = jnp.arange(B)
-    n1 = jnp.int32(fm.seq_len + 1)
+    cidx = jnp.arange(C, dtype=jnp.int32)[None, :]
+    sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+    L2 = fm.L2
+    z_b = jnp.zeros(B, jnp.int32)
+    z_bc = jnp.zeros((B, C), jnp.int32)
 
-    c0 = jnp.where(active, reads[bidx, jnp.clip(x, 0, L - 1)],
-                   4).astype(jnp.int32)
-    ok0 = active & (c0 < 4) & (x < lens)
-    c0c = jnp.minimum(c0, 3)
-    s0 = (fm.L2[c0c + 1] - fm.L2[c0c]).astype(jnp.int32)
-    ok0 = ok0 & (s0 >= min_intv) & (s0 > 0)
+    st = dict(
+        mode=jnp.where(active & (x0 < lens), _M_INIT,
+                       _M_DONE).astype(jnp.int32),
+        x=x0.astype(jnp.int32), nx=z_b, i=z_b,
+        k=z_b, l=z_b, s=z_b, end=z_b,        # fwd interval / cursor
+        sk=z_bc, sl=z_bc, ss=z_bc, se=z_bc,  # per-round stack
+        sn=z_b,                              # stack height
+        bj=z_b,                              # bwd: current entry index
+        bk=z_b, bl=z_b, bs=z_b, be=z_b,      # bwd: entry interval/end
+        last_i=z_b,                          # bwd: prev emission depth
+        rounds=z_b,
+        qbeg=jnp.zeros((B, max_seeds), jnp.int32),
+        qend=jnp.zeros((B, max_seeds), jnp.int32),
+        intv_l=jnp.zeros((B, max_seeds), jnp.int32),
+        intv_sz=jnp.zeros((B, max_seeds), jnp.int32),
+        n=z_b, nfull=z_b, it=jnp.int32(0),
+    )
 
-    fwd = dict(
-        i=x + 1,
-        k=(fm.L2[c0c] + 1).astype(jnp.int32),
-        l=(fm.L2[3 - c0c] + 1).astype(jnp.int32),
-        s=jnp.where(ok0, s0, 0),
-        end=x + 1,
-        alive=ok0,
-        ck=jnp.zeros((B, C), jnp.int32), cl=jnp.zeros((B, C), jnp.int32),
-        cs=jnp.zeros((B, C), jnp.int32), ce=jnp.zeros((B, C), jnp.int32),
-        cn=jnp.zeros(B, jnp.int32), it=jnp.int32(0))
+    def sel_entry(arr, j):
+        """arr[b, j[b]] as a one-hot sum (cheaper than a row gather)."""
+        hot = cidx == j[:, None]
+        return jnp.sum(jnp.where(hot, arr, 0), axis=1)
 
-    def fcond(st):
-        return jnp.any(st["alive"]) & (st["it"] < L + 1)
+    def body(st):
+        mode = st["mode"]
+        is_fwd = mode == _M_FWD
+        is_bwd = mode == _M_BWD
+        ip = st["i"]
+        ch = reads[bidx, jnp.clip(ip, 0, L - 1)].astype(jnp.int32)
+        ch = jnp.where((is_fwd & (ip < lens)) | (is_bwd & (ip >= 0)),
+                       ch, 4)
+        ch_ok = ch < 4
 
-    def fbody(st):
-        st = dict(st)
-        i = st["i"]
-        ch = jnp.where(st["alive"] & (i < lens),
-                       reads[bidx, jnp.clip(i, 0, L - 1)],
-                       4).astype(jnp.int32)
-        ch_ok = st["alive"] & (ch < 4)
-        K4, L4, S4 = bi_extend_back(fm, st["l"], st["k"], st["s"])
-        cc = 3 - jnp.minimum(ch, 3)
-        nk = _take4(L4, cc)
-        nl = _take4(K4, cc)
+        # ONE [B] FMD extension for both phases: fwd passes mirrored
+        # operands (l, k) and selects complement(ch); bwd passes (bk,
+        # bl) directly and selects ch.
+        Ain = jnp.where(is_fwd, st["l"], st["bk"])
+        Bin = jnp.where(is_fwd, st["k"], st["bl"])
+        Sin = jnp.where(is_fwd, st["s"], st["bs"])
+        K4, L4, S4 = bi_extend_back(fm, Ain, Bin, Sin)   # [B, 4]
+        cc = jnp.where(is_fwd, jnp.clip(3 - ch, 0, 3),
+                       jnp.minimum(ch, 3))
+        nk = jnp.where(is_fwd, _take4(L4, cc), _take4(K4, cc))
+        nl = jnp.where(is_fwd, _take4(K4, cc), _take4(L4, cc))
         ns = _take4(S4, cc)
-        hit_end = st["alive"] & ~ch_ok
-        changed = ch_ok & (ns != st["s"])
-        die = ch_ok & (ns < min_intv)
-        st.update(_smem_push(
-            {k: st[k] for k in ("ck", "cl", "cs", "ce", "cn")},
-            changed | hit_end, st["k"], st["l"], st["s"], st["end"], C))
-        adv = ch_ok & ~die
-        st["k"] = jnp.where(adv, nk, st["k"])
-        st["l"] = jnp.where(adv, nl, st["l"])
-        st["s"] = jnp.where(adv, ns, st["s"])
-        st["end"] = jnp.where(adv, i + 1, st["end"])
-        st["alive"] = adv
-        st["i"] = i + 1
-        st["it"] = st["it"] + 1
-        return st
 
-    st = jax.lax.while_loop(fcond, fbody, fwd)
-    ret_x = jnp.where(ok0, st["end"], x + 1)
+        # ---- FWD lanes (bwa bwt_smem1 forward loop) ----------------
+        f_ok = is_fwd & ch_ok
+        changed = f_ok & (ns != st["s"])
+        die = changed & (ns < min_intv)
+        hit_end = is_fwd & ~ch_ok
+        push = changed | hit_end          # push the OLD (k,l,s,end)
+        full = push & (st["sn"] >= C)     # drop OLDEST when full
+        pos = jnp.minimum(st["sn"], C - 1)
+        hot_p = push[:, None] & (cidx == pos[:, None])
 
-    # reverse curr -> prev so prev[0] is the longest-end entry
-    cn = st["cn"]
-    jrev = jnp.clip(cn[:, None] - 1 - jnp.arange(C)[None, :], 0, C - 1)
-    pk = jnp.take_along_axis(st["ck"], jrev, axis=1)
-    pl = jnp.take_along_axis(st["cl"], jrev, axis=1)
-    ps = jnp.take_along_axis(st["cs"], jrev, axis=1)
-    pe = jnp.take_along_axis(st["ce"], jrev, axis=1)
+        def rollpush(arr, v):
+            r = jnp.where(full[:, None], jnp.roll(arr, -1, axis=1), arr)
+            return jnp.where(hot_p, v[:, None], r)
 
-    bwd = dict(i=x - 1, pk=pk, pl=pl, ps=ps, pe=pe, pn=cn,
-               it=jnp.int32(0), **acc)
+        sk = rollpush(st["sk"], st["k"])
+        sl = rollpush(st["sl"], st["l"])
+        ss = rollpush(st["ss"], st["s"])
+        se = rollpush(st["se"], st["end"])
+        sn = jnp.minimum(st["sn"] + push.astype(jnp.int32), C)
+        adv = f_ok & ~die
+        k = jnp.where(adv, nk, st["k"])
+        l = jnp.where(adv, nl, st["l"])
+        s = jnp.where(adv, ns, st["s"])
+        end = jnp.where(adv, ip + 1, st["end"])
+        fwd_dead = die | hit_end
+        nx = jnp.where(fwd_dead, end, st["nx"])
 
-    def bcond(st):
-        return jnp.any(st["pn"] > 0) & (st["it"] < L + 1)
+        # ---- BWD lanes: extend ONE stack entry; on death, emit and
+        # move to the next (shorter-end) entry --------------------------
+        b_die = is_bwd & (~ch_ok | (ns < min_intv))
+        b_adv = is_bwd & ~b_die
+        e_start = ip + 1
+        want = b_die & (st["be"] - e_start >= min_seed_len) \
+            & (e_start < st["last_i"] + 1)
+        emit = want & (st["n"] < max_seeds)
+        hot_e = emit[:, None] & (sidx == st["n"][:, None])
+        qbeg = jnp.where(hot_e, e_start[:, None], st["qbeg"])
+        qend = jnp.where(hot_e, st["be"][:, None], st["qend"])
+        intv_l = jnp.where(hot_e, st["bk"][:, None], st["intv_l"])
+        intv_sz = jnp.where(hot_e, st["bs"][:, None], st["intv_sz"])
+        n = st["n"] + emit.astype(jnp.int32)
+        nfull = st["nfull"] + (want & ~emit).astype(jnp.int32)
+        last_i = jnp.where(emit, ip, st["last_i"])
 
-    def bbody(st):
-        st = dict(st)
-        i = st["i"]
-        has = st["pn"] > 0
-        ch = jnp.where(has & (i >= 0),
-                       reads[bidx, jnp.clip(i, 0, L - 1)],
+        # next entry (stack is in push order: top = longest end, so
+        # walk bj downward) or round end
+        bj = jnp.where(b_die, st["bj"] - 1, st["bj"])
+        bwd_done = b_die & (bj < 0)
+        to_entry = b_die & ~bwd_done      # load stack[bj], restart
+        bj_safe = jnp.maximum(bj, 0)
+        bk = jnp.where(to_entry, sel_entry(sk, bj_safe),
+                       jnp.where(b_adv, nk, st["bk"]))
+        bl = jnp.where(to_entry, sel_entry(sl, bj_safe),
+                       jnp.where(b_adv, nl, st["bl"]))
+        bs = jnp.where(to_entry, sel_entry(ss, bj_safe),
+                       jnp.where(b_adv, ns, st["bs"]))
+        be = jnp.where(to_entry, sel_entry(se, bj_safe), st["be"])
+        rounds = st["rounds"] + bwd_done.astype(jnp.int32)
+
+        x = jnp.where(bwd_done, nx, st["x"])
+        i = jnp.where(is_fwd | to_entry,
+                      jnp.where(f_ok & ~fwd_dead, ip + 1, st["x"] - 1),
+                      jnp.where(b_adv, ip - 1, ip))
+        # fwd death enters BWD at the stack top (bj = sn-1)
+        bj = jnp.where(fwd_dead, sn - 1, bj)
+        bk = jnp.where(fwd_dead, sel_entry(sk, jnp.maximum(sn - 1, 0)),
+                       bk)
+        bl = jnp.where(fwd_dead, sel_entry(sl, jnp.maximum(sn - 1, 0)),
+                       bl)
+        bs = jnp.where(fwd_dead, sel_entry(ss, jnp.maximum(sn - 1, 0)),
+                       bs)
+        be = jnp.where(fwd_dead, sel_entry(se, jnp.maximum(sn - 1, 0)),
+                       be)
+        last_i = jnp.where(fwd_dead, jnp.int32(2**30), last_i)
+        mode = jnp.where(fwd_dead, _M_BWD,
+                         jnp.where(bwd_done,
+                                   jnp.where(rounds >= max_rounds,
+                                             _M_DONE, _M_INIT), mode))
+
+        # ---- INIT fold-in (start the next round this same step) ----
+        is_init = mode == _M_INIT
+        past = x >= lens
+        c0 = jnp.where(is_init & ~past,
+                       reads[bidx, jnp.clip(x, 0, L - 1)],
                        4).astype(jnp.int32)
-        c_ok = ch < 4
-        K4, L4, S4 = bi_extend_back(fm, st["pk"], st["pl"], st["ps"])
-        cc = jnp.minimum(ch, 3)[:, None]
-        nk = _take4(K4, cc)
-        nl = _take4(L4, cc)
-        ns = _take4(S4, cc)
-        jidx = jnp.arange(C)[None, :]
-        entry = jidx < st["pn"][:, None]
-        ext_ok = entry & c_ok[:, None] & (ns >= min_intv[:, None])
-        dying = entry & ~ext_ok
-        any_die = jnp.any(dying, axis=1)
-        fd = jnp.argmax(dying, axis=1)             # longest-end casualty
-        e_start = i + 1
-        e_end = st["pe"][bidx, fd]
-        e_k = st["pk"][bidx, fd]
-        e_s = st["ps"][bidx, fd]
-        emit = has & any_die & (e_end - e_start >= min_seed_len) \
-            & (st["n"] < max_seeds)
-        hot = emit[:, None] & (jnp.arange(max_seeds)[None, :]
-                               == st["n"][:, None])
-        st["qbeg"] = jnp.where(hot, e_start[:, None], st["qbeg"])
-        st["qend"] = jnp.where(hot, e_end[:, None], st["qend"])
-        st["intv_l"] = jnp.where(hot, e_k[:, None], st["intv_l"])
-        st["intv_sz"] = jnp.where(hot, e_s[:, None], st["intv_sz"])
-        st["n"] = st["n"] + emit.astype(jnp.int32)
-        st["nfull"] = st["nfull"] + (has & any_die
-                                     & (e_end - e_start >= min_seed_len)
-                                     & (st["n"] >= max_seeds)
-                                     ).astype(jnp.int32)
-        # survivors: intervals are nested along j (sizes non-decreasing)
-        # so the dying set is a prefix; drop kept entries duplicating the
-        # previous kept entry's size (bwa's curr.back() size dedup)
-        prev_sz = jnp.concatenate(
-            [jnp.full((B, 1), -1, jnp.int32), ns[:, :-1]], axis=1)
-        prev_ok = jnp.concatenate(
-            [jnp.zeros((B, 1), bool), ext_ok[:, :-1]], axis=1)
-        dup = ext_ok & prev_ok & (ns == prev_sz)
-        keep = ext_ok & ~dup
-        order = jnp.argsort(~keep, axis=1, stable=True)
-        st["pk"] = jnp.take_along_axis(nk, order, axis=1)
-        st["pl"] = jnp.take_along_axis(nl, order, axis=1)
-        st["ps"] = jnp.take_along_axis(ns, order, axis=1)
-        st["pe"] = jnp.take_along_axis(st["pe"], order, axis=1)
-        st["pn"] = jnp.sum(keep, axis=1).astype(jnp.int32)
-        st["i"] = i - 1
-        st["it"] = st["it"] + 1
-        return st
+        c0c = jnp.minimum(c0, 3)
+        s0 = (L2[c0c + 1] - L2[c0c]).astype(jnp.int32)
+        ok0 = is_init & ~past & (c0 < 4) & (s0 >= min_intv) & (s0 > 0)
+        skip = is_init & ~past & ~ok0     # invalid base: pivot += 1
+        x = jnp.where(skip, x + 1, x)
+        # a failed init consumes a round too (a bounded-rounds caller —
+        # re-seeding — must not retry at the next pivot)
+        rounds = rounds + skip.astype(jnp.int32)
+        mode = jnp.where(is_init & past, _M_DONE,
+                         jnp.where(ok0, _M_FWD,
+                                   jnp.where(skip & (rounds >= max_rounds),
+                                             _M_DONE, mode)))
+        k = jnp.where(ok0, (L2[c0c] + 1).astype(jnp.int32), k)
+        l = jnp.where(ok0, (L2[3 - c0c] + 1).astype(jnp.int32), l)
+        s = jnp.where(ok0, s0, s)
+        end = jnp.where(ok0, x + 1, end)
+        i = jnp.where(ok0, x + 1, i)
+        sn = jnp.where(ok0, 0, sn)
 
-    st = jax.lax.while_loop(bcond, bbody, bwd)
-    acc = {k: st[k] for k in ("qbeg", "qend", "intv_l", "intv_sz",
-                              "n", "nfull")}
-    return acc, ret_x
+        return dict(mode=mode, x=x, nx=nx, i=i, k=k, l=l, s=s, end=end,
+                    sk=sk, sl=sl, ss=ss, se=se, sn=sn,
+                    bj=bj, bk=bk, bl=bl, bs=bs, be=be, last_i=last_i,
+                    rounds=rounds, qbeg=qbeg, qend=qend, intv_l=intv_l,
+                    intv_sz=intv_sz, n=n, nfull=nfull,
+                    it=st["it"] + 1)
+
+    def cond(st):
+        return jnp.any(st["mode"] != _M_DONE) & (st["it"] < step_cap)
+
+    def body2(st):
+        # two machine steps per while iteration: amortizes the loop's
+        # fixed per-iteration cost; DONE lanes are no-ops so the
+        # overshoot is safe
+        return body(body(st))
+
+    st = jax.lax.while_loop(cond, body2, st)
+    truncated = (st["mode"] != _M_DONE).astype(jnp.int32)
+    return dict(qbeg=st["qbeg"], qend=st["qend"], intv_l=st["intv_l"],
+                intv_sz=st["intv_sz"], n_seeds=st["n"],
+                n_dropped=st["nfull"] + truncated)
 
 
 @functools.partial(jax.jit, static_argnames=("max_seeds", "min_seed_len",
@@ -573,35 +645,19 @@ def smem_collect(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
 
     Unlike the greedy backward-only scan (collect_seeds), this emits
     SMEMs on BOTH sides of repeat cores — the re-seeding parity gap
-    called out in round 1.
+    called out in round 1.  Implemented as a flat per-lane state
+    machine (_smem_machine) — see its docstring for why.
 
     Returns the collect_seeds dict (qbeg, qend exclusive, intv_l,
     intv_sz, n_seeds) so it is a drop-in seeder."""
     B, L = reads.shape
-    acc = dict(qbeg=jnp.zeros((B, max_seeds), jnp.int32),
-               qend=jnp.zeros((B, max_seeds), jnp.int32),
-               intv_l=jnp.zeros((B, max_seeds), jnp.int32),
-               intv_sz=jnp.zeros((B, max_seeds), jnp.int32),
-               n=jnp.zeros(B, jnp.int32),
-               nfull=jnp.zeros(B, jnp.int32))
-    one = jnp.ones(B, jnp.int32)
-
-    def cond(st):
-        x, acc, it = st
-        return jnp.any(x < lens) & (it < L)
-
-    def body(st):
-        x, acc, it = st
-        active = x < lens
-        acc, ret = _smem_round(fm, reads, lens, x, one, active, acc,
-                               min_seed_len, max_seeds, max_prev)
-        return (jnp.where(active, ret, x), acc, it + 1)
-
-    x0 = jnp.zeros(B, jnp.int32)
-    _, acc, _ = jax.lax.while_loop(cond, body, (x0, acc, jnp.int32(0)))
-    return dict(qbeg=acc["qbeg"], qend=acc["qend"],
-                intv_l=acc["intv_l"], intv_sz=acc["intv_sz"],
-                n_seeds=acc["n"], n_dropped=acc["nfull"])
+    return _smem_machine(
+        fm, reads, lens,
+        x0=jnp.zeros(B, jnp.int32),
+        min_intv=jnp.ones(B, jnp.int32),
+        active=lens > 0,
+        max_seeds=max_seeds, min_seed_len=min_seed_len, C=max_prev,
+        max_rounds=L, step_cap=4 * L + 16)
 
 
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_prev"))
@@ -619,17 +675,13 @@ def smem_reseed(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
     qualified."""
     B, L = reads.shape
     R = 4
-    acc = dict(qbeg=jnp.zeros((B, R), jnp.int32),
-               qend=jnp.zeros((B, R), jnp.int32),
-               intv_l=jnp.zeros((B, R), jnp.int32),
-               intv_sz=jnp.zeros((B, R), jnp.int32),
-               n=jnp.zeros(B, jnp.int32),
-               nfull=jnp.zeros(B, jnp.int32))
     mid = (qb + qe) // 2
-    acc, _ = _smem_round(fm, reads, lens, mid, occ + 1, active, acc,
-                         min_seed_len, R, max_prev)
+    acc = _smem_machine(
+        fm, reads, lens, x0=mid, min_intv=occ + 1, active=active,
+        max_seeds=R, min_seed_len=min_seed_len, C=max_prev,
+        max_rounds=1, step_cap=2 * L + 8)
     slen = acc["qend"] - acc["qbeg"]
-    valid = jnp.arange(R)[None, :] < acc["n"][:, None]
+    valid = jnp.arange(R)[None, :] < acc["n_seeds"][:, None]
     pick = jnp.argmax(jnp.where(valid, slen, -1), axis=1)
     bidx = jnp.arange(B)
     got = valid[bidx, pick] & active

@@ -166,6 +166,7 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
 # direction bits for global traceback
 DIR_M, DIR_E, DIR_F = 0, 1, 2       # H source: diag / left(D) / up(I)
 BIT_EEXT, BIT_FEXT = 4, 8
+BIT_MIS = 16                        # q[i-1] != t[j-1] (for NM counting)
 
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
@@ -222,7 +223,12 @@ def global_batch(query: jax.Array, qlen: jax.Array,
             [jnp.full((B, 1), NEG, jnp.int32), M], axis=-1)
         src = jnp.where(h == m_full, jnp.uint8(DIR_M), src)
         src = src.at[:, 0].set(DIR_F)
-        dircode = src | eext_bit | fext_bit
+        # mismatch bit: lets the traceback count NM without re-gathering
+        # query/target characters (the walk is gather-cost-bound on TPU)
+        mis_bit = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.uint8),
+             (~is_match).astype(jnp.uint8) * BIT_MIS], axis=1)
+        dircode = src | eext_bit | fext_bit | mis_bit
         band_ok = jnp.abs(jt[None, :] - (i + 1)) <= band
         h = jnp.where(tmask & band_ok, h, NEG)
         active = (i < qlen)[:, None]

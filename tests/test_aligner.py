@@ -345,12 +345,13 @@ def test_long_reads_250bp(aligner, tiny_seqs):
 
 def test_dp_slot_overflow_fallback(tiny_seqs):
     """When a batch holds more non-trivial chains than device DP slots
-    (M2 = batch size), the host re-extends uncompacted — results must
-    match per-read alignment of the same sequences."""
+    (M2 = dp_rows(batch) = max(B//2, 64)), the host re-extends
+    uncompacted — results must match per-read alignment of the same
+    sequences."""
     cat = dict(tiny_seqs)
     # a 150bp segment duplicated at 4 loci: a mismatched read of it
-    # forms 4 non-trivial chains (equal weight, all kept), so 8 reads
-    # give n_dp = 32 > padded B = 8 -> overflow
+    # forms 4 non-trivial chains (equal weight, all kept), so 32 reads
+    # give n_dp = 128 > dp_rows(32) = 64 -> overflow
     rng = np.random.default_rng(11)
     seg = "".join("ACGT"[c] for c in rng.integers(0, 4, 150))
     spacers = ["".join("ACGT"[c] for c in rng.integers(0, 4, 220))
@@ -360,9 +361,9 @@ def test_dp_slot_overflow_fallback(tiny_seqs):
     idx = FMIndex.construct([("rep", ref)])
     aln = BWAAligner(idx)
     reads = []
-    for i in range(8):
+    for i in range(32):
         s = list(seg)
-        s[70 + i] = "A" if s[70 + i] != "A" else "C"
+        s[50 + i] = "A" if s[50 + i] != "A" else "C"
         reads.append("".join(s))
     calls = {"n": 0}
     orig = aln._extend_uncompacted
@@ -370,7 +371,7 @@ def test_dp_slot_overflow_fallback(tiny_seqs):
         calls["n"] += 1
         return orig(*a, **k)
     aln._extend_uncompacted = counting
-    batch = aln.align_batch(reads, [f"o{i}" for i in range(8)],
+    batch = aln.align_batch(reads, [f"o{i}" for i in range(len(reads))],
                             max_secondary=4)
     assert calls["n"] >= 1, "overflow fallback did not trigger"
     locs = {220 + 370 * k for k in range(4)}
