@@ -45,6 +45,15 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    # One-time platform/tunnel bring-up (NOT compile time): a trivial
+    # op pays the axon session setup (~6 min cold, ~0 warm).  Timed
+    # separately so the pipeline "warmup" below reports real compile.
+    t0 = time.time()
+    import jax.numpy as _jnp
+    np.asarray(_jnp.ones(8) + 1)
+    print(f"platform init (trivial op): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
     data = "/root/reference/tests/data"
     t0 = time.time()
     seqs = [(s.name, s.seq) for s in FastqReader(f"{data}/tiny.fa")]
@@ -56,19 +65,20 @@ def main():
     names = [r.name for r in reads]
     rseqs = [r.seq for r in reads]
 
-    B = 2048  # balance: the remote device link charges ~30 ms per
-    # message (so big batches), but pipeline overlap needs >2 batches
+    B = 4096  # measured optimum (r3): device-bound align_full peaks
+    # near 30k reads/s at B=4096 while host finish work still overlaps;
+    # B=8192 gains device rate but loses pipeline overlap
     # warmup/compile
     t0 = time.time()
     aln.align_batch(rseqs[:B], names[:B])
     print(f"warmup (compile): {time.time()-t0:.1f}s", file=sys.stderr)
 
-    n_bench = 32768                  # reference fastq cycled 4x
+    n_bench = 65536                  # reference fastq cycled 8x
     import itertools
     stream = itertools.islice(itertools.cycle(reads), n_bench)
     t0 = time.time()
     out = [recs for _, recs in
-           aln.align_stream(stream, batch_size=B, workers=3)]
+           aln.align_stream(stream, batch_size=B, workers=4)]
     dt = time.time() - t0
     reads_per_s = n_bench / dt
     mapped = sum(1 for rs in out if rs)

@@ -157,7 +157,8 @@ class BWAAligner:
         # (VERDICT r1 "silent truncation"); see docs/COMPONENTS.md
         self.stats = dict(seeds_at_cap=0, occ_clipped=0,
                           chains_at_cap=0, regs_truncated=0,
-                          regions_widened=0, regions_dropped_wide=0)
+                          regions_widened=0, regions_dropped_wide=0,
+                          fused_overflow_fallback=0)
         self._ann_offs = np.array([a.offset for a in index.ref.anns],
                                   dtype=np.int64)
         self._ann_lens = np.array([a.length for a in index.ref.anns],
@@ -194,7 +195,10 @@ class BWAAligner:
                 o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
                 e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
                 pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
-                w=opt.w, zdrop=opt.zdrop)
+                w=opt.w, zdrop=opt.zdrop,
+                split_len=opt.split_len, split_width=opt.split_width,
+                min_chain_weight=opt.min_chain_weight,
+                max_chain_extend=opt.max_chain_extend)
         self._sh_fused = jax.jit(jax.shard_map(
             fused_fn, mesh=mesh, in_specs=(dp2, dp1),
             out_specs=dp2, check_vma=False))
@@ -250,7 +254,10 @@ class BWAAligner:
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
             pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
-            w=opt.w, zdrop=opt.zdrop)
+            w=opt.w, zdrop=opt.zdrop,
+            split_len=opt.split_len, split_width=opt.split_width,
+            min_chain_weight=opt.min_chain_weight,
+            max_chain_extend=opt.max_chain_extend)
 
     def _collect_regions(self, enc: np.ndarray, lens: np.ndarray,
                          stage1=None, dedup: bool = True
@@ -516,6 +523,10 @@ class BWAAligner:
                 nms_by_row[m] = int(nms[k])
 
         l_pac = self.index.l_pac
+        # region-list index per read: hit['sec'] points into this
+        # numbering (for XA grouping)
+        slot_of = [{id(r): k for k, r in enumerate(rs)}
+                   for rs in regions]
         for m, (b, r) in enumerate(flat):
             cig2l = cigars[m]
             nm = nms_by_row[m]
@@ -541,7 +552,8 @@ class BWAAligner:
             hits_per_read[b].append(dict(
                 rid=rid, pos=pos, is_rev=is_rev, score=r.score,
                 mapq=mapq, secondary=r.secondary >= 0,
-                cigar=full, nm=nm, n_regs=len(regions[b])))
+                cigar=full, nm=nm, n_regs=len(regions[b]),
+                slot=slot_of[b].get(id(r), -1), sec=r.secondary))
         return hits_per_read
 
     # ------------------------------------------------------------------
@@ -566,7 +578,10 @@ class BWAAligner:
             pen_clip3=opt.pen_clip3, w=opt.w, zdrop=opt.zdrop,
             T=opt.T, mask_level=opt.mask_level,
             mask_level_redun=opt.mask_level_redun,
-            glob_band=2 * opt.w + 8)
+            glob_band=2 * opt.w + 8,
+            split_len=opt.split_len, split_width=opt.split_width,
+            min_chain_weight=opt.min_chain_weight,
+            max_chain_extend=opt.max_chain_extend)
 
     def _mapq_vals(self, score, sub, sub_n, qspan, tspan, frac_rep):
         """Float64 mem_approx_mapq_se (identical to _mapq) as scalars."""
@@ -610,6 +625,9 @@ class BWAAligner:
         # the classic (uncompacted-capable) path
         from .device_pipeline import dp_rows
         if B and int(regions[0, C * NFIELD + 6]) > dp_rows(B):
+            # telemetry: this fallback re-runs the whole batch through
+            # the classic path (~2.5x cost) — it must stay RARE
+            self.stats["fused_overflow_fallback"] += 1
             regs = self._collect_regions(enc, lens)[:B]
             return self._regions_to_hits(enc, lens, [""] * B,
                                          [""] * B, regs)
@@ -725,7 +743,8 @@ class BWAAligner:
                 rid=int(rid_a[b, j]), pos=int(pos_a[b, j]),
                 is_rev=bool(is_rev[b, j]), score=int(sc_a[b, j]),
                 mapq=int(mq[b, j]), secondary=bool(sec_mask[b, j]),
-                cigar=full, nm=nm, n_regs=int(n_regs[b])))
+                cigar=full, nm=nm, n_regs=int(n_regs[b]),
+                slot=int(j), sec=int(fields[b, j, 7])))
         # fallback-path regions (wide/overflow) enter via fb_cigs
         for (b, j), (cig2l, nm) in fb_cigs.items():
             if not in_contig[b, j]:
@@ -738,7 +757,8 @@ class BWAAligner:
                 rid=int(rid_a[b, j]), pos=int(pos_a[b, j]),
                 is_rev=bool(is_rev[b, j]), score=int(sc_a[b, j]),
                 mapq=int(mq[b, j]), secondary=bool(sec_mask[b, j]),
-                cigar=full, nm=nm, n_regs=int(n_regs[b])))
+                cigar=full, nm=nm, n_regs=int(n_regs[b]),
+                slot=int(j), sec=int(fields[b, j, 7])))
         return hits_per_read
 
     # ------------------------------------------------------------------
@@ -877,6 +897,36 @@ class BWAAligner:
     def _assemble_records(self, seq: str, name: str, hits: list[dict],
                           hardclip: bool, keep_sec_frac: float,
                           max_secondary: int) -> list[BamRecord]:
+        # XA (bwa mem_gen_alt, bwamem_extra.c semantics): each
+        # secondary hit whose score >= XA_drop_ratio * its primary's
+        # score becomes a "ref,(+-)pos1,cigar,NM;" entry on that
+        # primary; a primary with more than max_XA_hits qualifying
+        # alternates gets NO XA (bwa's cnt[r] > max_XA_hits skip).
+        # Alternates are gathered BEFORE the keepSecFrac/maxSecondary
+        # output filters, so filtered-out secondaries still surface in
+        # XA.  (The reference library itself never emits XA —
+        # mem_reg2aln zero-fills it, BWAAligner.cpp:240 guards on it —
+        # so this follows `bwa mem` output semantics, limited to
+        # score >= T regions, which are the ones with computed CIGARs.)
+        opt = self.options
+        xa_of: dict[int, list[str]] = {}
+        if hits:
+            by_slot = {h["slot"]: h for h in hits if h.get("slot", -1) >= 0}
+            anns = self.index.ref.anns
+            for h in hits:
+                r = h.get("sec", -1)
+                if r < 0:
+                    continue
+                p = by_slot.get(r)
+                if p is None or h["score"] < p["score"] * opt.XA_drop_ratio:
+                    continue
+                cig = "".join(
+                    f"{ln}{'S' if op == 'N' else op}"
+                    for op, ln in h["cigar"])
+                xa_of.setdefault(r, []).append(
+                    f"{anns[h['rid']].name},"
+                    f"{'-' if h['is_rev'] else '+'}{h['pos'] + 1},"
+                    f"{cig},{h['nm']};")
         # sort: MAPQ desc, then rid, then pos (BWAAligner.cpp:6-12)
         hits = sorted(hits, key=lambda h: (-h["mapq"], h["rid"], h["pos"]))
         out: list[BamRecord] = []
@@ -917,6 +967,9 @@ class BWAAligner:
             rec.qual = None
             rec.add_int_tag("NA", h["n_regs"])
             rec.add_int_tag("NM", h["nm"])
+            xa = xa_of.get(h.get("slot", -1))
+            if xa and not is_sec and len(xa) <= opt.max_XA_hits:
+                rec.add_z_tag("XA", "".join(xa))
             rec.add_int_tag("AS", h["score"])
             out.append(rec)
         return out

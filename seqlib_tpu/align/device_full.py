@@ -105,7 +105,9 @@ def _mark_walk_order(score, live):
     "band", "max_chain_gap", "drop_ratio", "max_chains",
     "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
     "pen_clip5", "pen_clip3", "w", "zdrop", "T",
-    "mask_level", "mask_level_redun", "glob_band"))
+    "mask_level", "mask_level_redun", "glob_band",
+    "split_len", "split_width", "min_chain_weight",
+    "max_chain_extend"))
 def align_full(fm, text, enc_lens, l_pac: int,
                max_seeds: int = 16, min_seed_len: int = 19,
                max_occ: int = 500, k_occ: int = 16,
@@ -116,7 +118,10 @@ def align_full(fm, text, enc_lens, l_pac: int,
                pen_clip5: int = 5, pen_clip3: int = 5, w: int = 100,
                zdrop: int = 0, T: int = 30,
                mask_level: float = 0.5, mask_level_redun: float = 0.95,
-               glob_band: int = 208):
+               glob_band: int = 208,
+               split_len: int = 28, split_width: int = 10,
+               min_chain_weight: int = 0,
+               max_chain_extend: int = 1 << 30):
     """enc_lens: uint8 [B, L+4] — nt4 codes with the read length packed
     little-endian into the last 4 columns (single upload buffer).
 
@@ -135,7 +140,10 @@ def align_full(fm, text, enc_lens, l_pac: int,
         band=band, max_chain_gap=max_chain_gap, drop_ratio=drop_ratio,
         max_chains=max_chains, o_del=o_del, e_del=e_del, o_ins=o_ins,
         e_ins=e_ins, match=match, mismatch=mismatch,
-        pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w, zdrop=zdrop)
+        pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w, zdrop=zdrop,
+        split_len=split_len, split_width=split_width,
+        min_chain_weight=min_chain_weight,
+        max_chain_extend=max_chain_extend)
     C = max_chains
     valid0 = out["keep"]
     qb0, qe0 = out["qb"], out["qe"]

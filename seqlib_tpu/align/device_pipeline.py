@@ -43,12 +43,16 @@ OP_M, OP_D, OP_I, OP_NONE = 0, 1, 2, 3
 
 
 def dp_rows(B: int) -> int:
-    """Compacted DP-row budget for a batch of B reads: at wgsim-like
-    error rates only ~25-30% of chains need a DP row (the rest are
-    'trivial'/'perfect' exact spans), so B//2 halves the extension and
-    traceback volume with margin; overflow is flagged to the host
-    fallback paths, never dropped."""
-    return max(B // 2, 64)
+    """Compacted DP-row budget for a batch of B reads.  Measured on
+    the canonical wgsim 150 bp workload: ~56% of chains are
+    non-trivial at the extension stage (1151/2048) and ~50% of live
+    regions need a global-DP row (1016/2048) — so 3B/4 compacts both
+    stages with ~1.3x margin.  (B//2 was tried and OVERFLOWED on this
+    exact workload, silently routing every batch to the classic-path
+    fallback at ~2.5x the cost — see stats['fused_overflow_fallback']
+    and tests/test_aligner.py::test_dp_slot_overflow_fallback.)
+    Overflow is flagged to the host fallback paths, never dropped."""
+    return max(3 * B // 4, 64)
 
 
 @functools.partial(jax.jit, static_argnames=("max_seeds", "min_seed_len",
@@ -143,7 +147,8 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
 
 def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
                  max_chain_gap: int = 10000, drop_ratio: float = 0.5,
-                 max_chains: int = 4):
+                 max_chains: int = 4, min_chain_weight: int = 0,
+                 max_chain_extend: int = 1 << 30):
     """Device-side seed chaining (mem_chain equivalent; mirrors
     align.chain.chain_batch exactly — see its docstring for the
     algorithm and /root/reference/src/BWAAligner.cpp:104-109 for the
@@ -256,6 +261,15 @@ def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
     best_w = w_c[:, :1]
     keep = (w_c > 0) & (w_c.astype(jnp.float32)
                         >= drop_ratio * best_w.astype(jnp.float32))
+    # mem_chain_flt's remaining knobs: drop chains below
+    # min_chain_weight, and extend at most max_chain_extend chains
+    # (w_c is already weight-descending, so a positional cap is the
+    # weight-order cap)
+    if min_chain_weight > 0:
+        keep = keep & (w_c >= min_chain_weight)
+    if max_chain_extend < max_chains:
+        keep = keep & (jnp.arange(max_chains)[None, :]
+                       < max_chain_extend)
     packed = jnp.take_along_axis(anchor, top, axis=1)
     a_len = packed >> 19
     a_qb = 1023 - ((packed >> 9) & 1023)
@@ -272,7 +286,9 @@ def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
     "l_pac", "max_seeds", "min_seed_len", "max_occ", "k_occ",
     "band", "max_chain_gap", "drop_ratio", "max_chains",
     "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
-    "pen_clip5", "pen_clip3", "w", "zdrop"))
+    "pen_clip5", "pen_clip3", "w", "zdrop",
+    "split_len", "split_width", "min_chain_weight",
+    "max_chain_extend"))
 def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
                       l_pac: int,
                       max_seeds: int = 16, min_seed_len: int = 19,
@@ -282,7 +298,10 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
                       o_del: int = 6, e_del: int = 1, o_ins: int = 6,
                       e_ins: int = 1, match: int = 1, mismatch: int = 4,
                       pen_clip5: int = 5, pen_clip3: int = 5,
-                      w: int = 100, zdrop: int = 0):
+                      w: int = 100, zdrop: int = 0,
+                      split_len: int = 28, split_width: int = 10,
+                      min_chain_weight: int = 0,
+                      max_chain_extend: int = 1 << 30):
     """Fully fused stage 1+2: seed scan + SA locate + chaining +
     left/right extension in ONE device dispatch.
 
@@ -296,10 +315,13 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
     B, L = reads.shape
     s1 = seed_and_locate(fm, reads, lens, max_seeds=max_seeds,
                          min_seed_len=min_seed_len, max_occ=max_occ,
-                         k_occ=k_occ)
+                         k_occ=k_occ, split_len=split_len,
+                         split_width=split_width)
     ch = chain_device(s1["qbeg"], s1["qend"], s1["pos"], l_pac,
                       band=band, max_chain_gap=max_chain_gap,
-                      drop_ratio=drop_ratio, max_chains=max_chains)
+                      drop_ratio=drop_ratio, max_chains=max_chains,
+                      min_chain_weight=min_chain_weight,
+                      max_chain_extend=max_chain_extend)
     C = max_chains
     keep = ch["keep"]
     aq, alen, ar = ch["anchor_q"], ch["anchor_len"], ch["anchor_r"]
@@ -476,11 +498,11 @@ def global_and_traceback(q, ql, t, tl,
     T = (2 * (Lq + Lt) + 7) // 4 * 4
 
     def cond(st):
-        i, j, state, ops, nm, s = st
+        i, j, state, ops_w, nm, s = st
         return (s < T) & jnp.any((i > 0) | (j > 0))
 
     def step(st):
-        i, j, state, ops, nm, s = st
+        i, j, state, ops_w, nm, s = st
         done = (i == 0) & (j == 0)
         code = jnp.take_along_axis(
             dirs_flat,
@@ -518,8 +540,17 @@ def global_and_traceback(q, ql, t, tl,
                     jnp.where(in_e & ((code & BIT_EEXT) == 0), 0,
                     jnp.where(in_f & ((code & BIT_FEXT) == 0), 0,
                     jnp.where(h_is_m, 0, state)))))))
-        ops = ops.at[:, s].set(op.astype(jnp.int8))
-        return (i - di, j - dj, new_state, ops, nm + add_nm, s + 1)
+        # write the 2-bit op code into its slot of the PACKED word
+        # column (16 codes/int32).  The walk's loop carry is staged on
+        # every while iteration (~250 us/MB on the axon runtime), so
+        # carrying [M, T/16] words instead of [M, T] bytes cuts that
+        # 16x.  Words start all-OP_NONE (0xFF..), hence clear-then-or.
+        wi = s >> 4
+        sh = 2 * (s & 15)
+        col = jax.lax.dynamic_slice(ops_w, (0, wi), (M, 1))
+        col = (col & ~(3 << sh)) | (op[:, None] << sh)
+        ops_w2 = jax.lax.dynamic_update_slice(ops_w, col, (0, wi))
+        return (i - di, j - dj, new_state, ops_w2, nm + add_nm, s + 1)
 
     def body(st):
         # 8 walk steps per while iteration: amortizes the sequential
@@ -529,17 +560,18 @@ def global_and_traceback(q, ql, t, tl,
             st = step(st)
         return st
 
+    Tw = T // 16 + 1
     init = (ql.astype(jnp.int32), tl.astype(jnp.int32),
             jnp.zeros(M, jnp.int32),
-            jnp.full((M, T), OP_NONE, jnp.int8),
+            jnp.full((M, Tw), -1, jnp.int32),   # all slots OP_NONE (3)
             jnp.zeros(M, jnp.int32), jnp.int32(0))
-    i, j, state, ops, nm, _ = jax.lax.while_loop(cond, body, init)
-    # pack 4 step codes per byte: 4x less data over the host link
+    i, j, state, ops_w, nm, _ = jax.lax.while_loop(cond, body, init)
+    # emit the same 4-codes-per-byte layout the host unpacker expects:
+    # byte b of word w holds codes 4b..4b+3 at bits 0/2/4/6
     Tp = (T + 3) // 4 * 4
-    opsp = jnp.full((M, Tp), OP_NONE, jnp.int8).at[:, :T].set(ops)
-    q4 = opsp.reshape(M, Tp // 4, 4).astype(jnp.uint8)
-    packed = (q4[:, :, 0] | (q4[:, :, 1] << 2) | (q4[:, :, 2] << 4)
-              | (q4[:, :, 3] << 6))
+    bts = jnp.stack([(ops_w >> (8 * b)) & 0xFF for b in range(4)],
+                    axis=2).astype(jnp.uint8)          # [M, Tw, 4]
+    packed = bts.reshape(M, Tw * 4)[:, :Tp // 4]
     return score, packed, nm
 
 
@@ -547,7 +579,9 @@ def global_and_traceback(q, ql, t, tl,
     "l_pac", "max_seeds", "min_seed_len", "max_occ", "k_occ",
     "band", "max_chain_gap", "drop_ratio", "max_chains",
     "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
-    "pen_clip5", "pen_clip3", "w", "zdrop"))
+    "pen_clip5", "pen_clip3", "w", "zdrop",
+    "split_len", "split_width", "min_chain_weight",
+    "max_chain_extend"))
 def seed_chain_extend_packed(fm: DeviceFMIndex, text, reads, lens,
                              l_pac: int, **kw):
     """seed_chain_extend with every output packed into ONE int32

@@ -21,7 +21,13 @@ class AlignerOptions:
     e_del: int = 1
     o_ins: int = 6
     e_ins: int = 1
-    pen_unpaired: int = 17
+    # NOTE: the reference mem_opt_t also carries pen_unpaired and
+    # max_matesw, but its library surface is single-end only
+    # (alignSequence, BWAAligner.cpp:89-252 — mem_align1, never
+    # mem_sam_pe), so paired-scoring knobs are unreachable there; we
+    # omit them rather than expose dead options.  Our paired-end CLI
+    # path scores pairs by proper-orientation rescue, not bwa's
+    # mate-SW.
     pen_clip5: int = 5
     pen_clip3: int = 5
     w: int = 100               # band width
@@ -38,15 +44,21 @@ class AlignerOptions:
     mask_level: float = 0.50
     drop_ratio: float = 0.50
     XA_drop_ratio: float = 0.80
+    max_XA_hits: int = 5       # bwa mem_opt_init; XA omitted beyond this
     mask_level_redun: float = 0.95
     mapQ_coef_len: int = 50
-    max_matesw: int = 50
     # behavior flags
     softclip_all: bool = True  # MEM_F_SOFTCLIP set by the reference ctor
 
     @property
     def mapQ_coef_fac(self) -> float:
         return math.log(self.mapQ_coef_len)
+
+    @property
+    def split_len(self) -> int:
+        """Re-seed length trigger: round(min_seed_len * split_factor)
+        — bwa mem_collect_intv's split_len."""
+        return int(self.min_seed_len * self.split_factor + 0.499)
 
     # -- setters (parity: BWAAligner.cpp:14-87) -----------------------------
 
@@ -85,7 +97,6 @@ class AlignerOptions:
         self.zdrop *= a
         self.pen_clip5 *= a
         self.pen_clip3 *= a
-        self.pen_unpaired *= a
 
     def set_3prime_clipping_penalty(self, p: int) -> None:
         if p < 0:

@@ -410,6 +410,25 @@ def _take4(a4: jax.Array, c: jax.Array) -> jax.Array:
 _M_INIT, _M_FWD, _M_BWD, _M_DONE = 0, 1, 2, 3
 
 
+def _machine_impl():
+    """Production SMEM machine implementation.
+
+    Default: the unrolled pure-XLA machine.  The alternative
+    single-kernel-per-step Pallas implementation (ops/fm_pallas.py,
+    bit-identical — cross-checked by tests/test_fm_pallas.py) is
+    opt-in via SEQLIB_SMEM_PALLAS=1: on the current axon-tunneled
+    runtime each pallas_call pays ~270 us launch + ~600 us/MB buffer
+    staging (measured, docs/SEED_MACHINE.md), which at one call per
+    machine step loses to the XLA loop; on directly-attached TPUs
+    (us-scale kernel launch) the Pallas step is the faster design."""
+    import os
+    if (jax.default_backend() != "cpu"
+            and os.environ.get("SEQLIB_SMEM_PALLAS") == "1"):
+        from .fm_pallas import smem_machine_pallas
+        return smem_machine_pallas
+    return _smem_machine
+
+
 def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
                   max_seeds: int, min_seed_len: int, C: int,
                   max_rounds: int, step_cap: int):
@@ -459,28 +478,30 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
     z_b = jnp.zeros(B, jnp.int32)
     z_bc = jnp.zeros((B, C), jnp.int32)
 
+    # The stack is a CIRCULAR buffer: ``sn`` counts pushes this round
+    # (unbounded), entry j lives at physical slot j % C, and only the
+    # newest C entries are addressable (older ones were overwritten —
+    # the same drop-OLDEST policy the previous roll-on-full
+    # implementation had, without paying a [B, C] roll+select of all
+    # four stack arrays on every push step).  qbeg/qend emissions are
+    # packed into one int32 (qb << 16 | qe) to shave a fourth [B, S]
+    # array off the per-step state traffic.
     st = dict(
         mode=jnp.where(active & (x0 < lens), _M_INIT,
                        _M_DONE).astype(jnp.int32),
         x=x0.astype(jnp.int32), nx=z_b, i=z_b,
         k=z_b, l=z_b, s=z_b, end=z_b,        # fwd interval / cursor
-        sk=z_bc, sl=z_bc, ss=z_bc, se=z_bc,  # per-round stack
-        sn=z_b,                              # stack height
-        bj=z_b,                              # bwd: current entry index
+        sk=z_bc, sl=z_bc, ss=z_bc, se=z_bc,  # per-round circular stack
+        sn=z_b,                              # total pushes this round
+        bj=z_b,                              # bwd: entry index (abs)
         bk=z_b, bl=z_b, bs=z_b, be=z_b,      # bwd: entry interval/end
         last_i=z_b,                          # bwd: prev emission depth
         rounds=z_b,
-        qbeg=jnp.zeros((B, max_seeds), jnp.int32),
-        qend=jnp.zeros((B, max_seeds), jnp.int32),
+        qspan=jnp.zeros((B, max_seeds), jnp.int32),   # qb << 16 | qe
         intv_l=jnp.zeros((B, max_seeds), jnp.int32),
         intv_sz=jnp.zeros((B, max_seeds), jnp.int32),
         n=z_b, nfull=z_b, it=jnp.int32(0),
     )
-
-    def sel_entry(arr, j):
-        """arr[b, j[b]] as a one-hot sum (cheaper than a row gather)."""
-        hot = cidx == j[:, None]
-        return jnp.sum(jnp.where(hot, arr, 0), axis=1)
 
     def body(st):
         mode = st["mode"]
@@ -511,19 +532,12 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
         die = changed & (ns < min_intv)
         hit_end = is_fwd & ~ch_ok
         push = changed | hit_end          # push the OLD (k,l,s,end)
-        full = push & (st["sn"] >= C)     # drop OLDEST when full
-        pos = jnp.minimum(st["sn"], C - 1)
-        hot_p = push[:, None] & (cidx == pos[:, None])
-
-        def rollpush(arr, v):
-            r = jnp.where(full[:, None], jnp.roll(arr, -1, axis=1), arr)
-            return jnp.where(hot_p, v[:, None], r)
-
-        sk = rollpush(st["sk"], st["k"])
-        sl = rollpush(st["sl"], st["l"])
-        ss = rollpush(st["ss"], st["s"])
-        se = rollpush(st["se"], st["end"])
-        sn = jnp.minimum(st["sn"] + push.astype(jnp.int32), C)
+        hot_p = push[:, None] & (cidx == (st["sn"] % C)[:, None])
+        sk = jnp.where(hot_p, st["k"][:, None], st["sk"])
+        sl = jnp.where(hot_p, st["l"][:, None], st["sl"])
+        ss = jnp.where(hot_p, st["s"][:, None], st["ss"])
+        se = jnp.where(hot_p, st["end"][:, None], st["se"])
+        sn = st["sn"] + push.astype(jnp.int32)
         adv = f_ok & ~die
         k = jnp.where(adv, nk, st["k"])
         l = jnp.where(adv, nl, st["l"])
@@ -541,43 +555,42 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
             & (e_start < st["last_i"] + 1)
         emit = want & (st["n"] < max_seeds)
         hot_e = emit[:, None] & (sidx == st["n"][:, None])
-        qbeg = jnp.where(hot_e, e_start[:, None], st["qbeg"])
-        qend = jnp.where(hot_e, st["be"][:, None], st["qend"])
+        qspan = jnp.where(
+            hot_e, ((e_start << 16) | st["be"])[:, None], st["qspan"])
         intv_l = jnp.where(hot_e, st["bk"][:, None], st["intv_l"])
         intv_sz = jnp.where(hot_e, st["bs"][:, None], st["intv_sz"])
         n = st["n"] + emit.astype(jnp.int32)
         nfull = st["nfull"] + (want & ~emit).astype(jnp.int32)
         last_i = jnp.where(emit, ip, st["last_i"])
 
-        # next entry (stack is in push order: top = longest end, so
-        # walk bj downward) or round end
-        bj = jnp.where(b_die, st["bj"] - 1, st["bj"])
-        bwd_done = b_die & (bj < 0)
-        to_entry = b_die & ~bwd_done      # load stack[bj], restart
-        bj_safe = jnp.maximum(bj, 0)
-        bk = jnp.where(to_entry, sel_entry(sk, bj_safe),
-                       jnp.where(b_adv, nk, st["bk"]))
-        bl = jnp.where(to_entry, sel_entry(sl, bj_safe),
-                       jnp.where(b_adv, nl, st["bl"]))
-        bs = jnp.where(to_entry, sel_entry(ss, bj_safe),
-                       jnp.where(b_adv, ns, st["bs"]))
-        be = jnp.where(to_entry, sel_entry(se, bj_safe), st["be"])
+        # next entry (walk bj downward; only the newest C survive) or
+        # round end
+        bj1 = st["bj"] - 1
+        bwd_done = b_die & ((bj1 < 0) | (bj1 < sn - C))
+        to_entry = b_die & ~bwd_done      # load stack[bj1], restart
         rounds = st["rounds"] + bwd_done.astype(jnp.int32)
 
         x = jnp.where(bwd_done, nx, st["x"])
         i = jnp.where(is_fwd | to_entry,
                       jnp.where(f_ok & ~fwd_dead, ip + 1, st["x"] - 1),
                       jnp.where(b_adv, ip - 1, ip))
-        # fwd death enters BWD at the stack top (bj = sn-1)
-        bj = jnp.where(fwd_dead, sn - 1, bj)
-        bk = jnp.where(fwd_dead, sel_entry(sk, jnp.maximum(sn - 1, 0)),
-                       bk)
-        bl = jnp.where(fwd_dead, sel_entry(sl, jnp.maximum(sn - 1, 0)),
-                       bl)
-        bs = jnp.where(fwd_dead, sel_entry(ss, jnp.maximum(sn - 1, 0)),
-                       bs)
-        be = jnp.where(fwd_dead, sel_entry(se, jnp.maximum(sn - 1, 0)),
-                       be)
+        # ONE stack load serves both entries: fwd death enters BWD at
+        # the top (sn - 1), a bwd death restarts at bj1
+        bj = jnp.where(fwd_dead, sn - 1, jnp.where(b_die, bj1, st["bj"]))
+        need_load = fwd_dead | to_entry
+        hot_l = need_load[:, None] \
+            & (cidx == (jnp.maximum(bj, 0) % C)[:, None])
+
+        def sel(arr, hot):
+            return jnp.sum(jnp.where(hot, arr, 0), axis=1)
+
+        bk = jnp.where(need_load, sel(sk, hot_l),
+                       jnp.where(b_adv, nk, st["bk"]))
+        bl = jnp.where(need_load, sel(sl, hot_l),
+                       jnp.where(b_adv, nl, st["bl"]))
+        bs = jnp.where(need_load, sel(ss, hot_l),
+                       jnp.where(b_adv, ns, st["bs"]))
+        be = jnp.where(need_load, sel(se, hot_l), st["be"])
         last_i = jnp.where(fwd_dead, jnp.int32(2**30), last_i)
         mode = jnp.where(fwd_dead, _M_BWD,
                          jnp.where(bwd_done,
@@ -612,22 +625,30 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
         return dict(mode=mode, x=x, nx=nx, i=i, k=k, l=l, s=s, end=end,
                     sk=sk, sl=sl, ss=ss, se=se, sn=sn,
                     bj=bj, bk=bk, bl=bl, bs=bs, be=be, last_i=last_i,
-                    rounds=rounds, qbeg=qbeg, qend=qend, intv_l=intv_l,
+                    rounds=rounds, qspan=qspan, intv_l=intv_l,
                     intv_sz=intv_sz, n=n, nfull=nfull,
                     it=st["it"] + 1)
 
     def cond(st):
         return jnp.any(st["mode"] != _M_DONE) & (st["it"] < step_cap)
 
-    def body2(st):
-        # two machine steps per while iteration: amortizes the loop's
-        # fixed per-iteration cost; DONE lanes are no-ops so the
-        # overshoot is safe
-        return body(body(st))
+    # Unrolled machine steps per while iteration: every iteration of a
+    # device loop pays a fixed cost PLUS a carry-staging cost
+    # (~250 us/MB measured through the axon runtime — the loop carry
+    # here is ~0.45 KB/lane), so running U steps per iteration cuts
+    # that overhead by U.  DONE lanes are no-ops, so the <=U-1 step
+    # overshoot after the last lane finishes is free of semantics.
+    U = 8 if jax.default_backend() != "cpu" else 2
 
-    st = jax.lax.while_loop(cond, body2, st)
+    def bodyU(st):
+        for _ in range(U):
+            st = body(st)
+        return st
+
+    st = jax.lax.while_loop(cond, bodyU, st)
     truncated = (st["mode"] != _M_DONE).astype(jnp.int32)
-    return dict(qbeg=st["qbeg"], qend=st["qend"], intv_l=st["intv_l"],
+    return dict(qbeg=st["qspan"] >> 16, qend=st["qspan"] & 0xFFFF,
+                intv_l=st["intv_l"],
                 intv_sz=st["intv_sz"], n_seeds=st["n"],
                 n_dropped=st["nfull"] + truncated)
 
@@ -651,7 +672,7 @@ def smem_collect(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
     Returns the collect_seeds dict (qbeg, qend exclusive, intv_l,
     intv_sz, n_seeds) so it is a drop-in seeder."""
     B, L = reads.shape
-    return _smem_machine(
+    return _machine_impl()(
         fm, reads, lens,
         x0=jnp.zeros(B, jnp.int32),
         min_intv=jnp.ones(B, jnp.int32),
@@ -676,7 +697,7 @@ def smem_reseed(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
     B, L = reads.shape
     R = 4
     mid = (qb + qe) // 2
-    acc = _smem_machine(
+    acc = _machine_impl()(
         fm, reads, lens, x0=mid, min_intv=occ + 1, active=active,
         max_seeds=R, min_seed_len=min_seed_len, C=max_prev,
         max_rounds=1, step_cap=2 * L + 8)
