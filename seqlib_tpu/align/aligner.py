@@ -159,6 +159,7 @@ class BWAAligner:
                           chains_at_cap=0, regs_truncated=0,
                           regions_widened=0, regions_dropped_wide=0,
                           fused_overflow_fallback=0)
+        self._names_cache: list[str] | None = None
         self._ann_offs = np.array([a.offset for a in index.ref.anns],
                                   dtype=np.int64)
         self._ann_lens = np.array([a.length for a in index.ref.anns],
@@ -198,7 +199,8 @@ class BWAAligner:
                 w=opt.w, zdrop=opt.zdrop,
                 split_len=opt.split_len, split_width=opt.split_width,
                 min_chain_weight=opt.min_chain_weight,
-                max_chain_extend=opt.max_chain_extend)
+                max_chain_extend=opt.max_chain_extend,
+                max_mem_intv=opt.max_mem_intv)
         self._sh_fused = jax.jit(jax.shard_map(
             fused_fn, mesh=mesh, in_specs=(dp2, dp1),
             out_specs=dp2, check_vma=False))
@@ -257,7 +259,8 @@ class BWAAligner:
             w=opt.w, zdrop=opt.zdrop,
             split_len=opt.split_len, split_width=opt.split_width,
             min_chain_weight=opt.min_chain_weight,
-            max_chain_extend=opt.max_chain_extend)
+            max_chain_extend=opt.max_chain_extend,
+                max_mem_intv=opt.max_mem_intv)
 
     def _collect_regions(self, enc: np.ndarray, lens: np.ndarray,
                          stage1=None, dedup: bool = True
@@ -380,7 +383,13 @@ class BWAAligner:
         ranked = sorted(enumerate(out),
                         key=lambda t: (-t[1].score, _hash64(t[0])))
         out = [r for _, r in ranked]
-        # mark primary/secondary by query overlap
+        # mark primary/secondary by query overlap.  sub_n counts
+        # losers within tmp = max(a+b, o_del+e_del, o_ins+e_ins) of
+        # the primary (mem_mark_primary_se_core's `tmp`; the previous
+        # `<= a` version under-counted and inflated MAPQ — caught by
+        # tests/test_record_oracle.py).
+        tmp = max(opt.a + opt.b, opt.o_del + opt.e_del,
+                  opt.o_ins + opt.e_ins)
         kept: list[int] = []
         for i, r in enumerate(out):
             placed = False
@@ -393,7 +402,7 @@ class BWAAligner:
                         r.secondary = k
                         if p.sub == 0:
                             p.sub = r.score
-                        if p.score - r.score <= opt.a:
+                        if p.score - r.score <= tmp:
                             p.sub_n += 1
                         placed = True
                         break
@@ -581,7 +590,8 @@ class BWAAligner:
             glob_band=2 * opt.w + 8,
             split_len=opt.split_len, split_width=opt.split_width,
             min_chain_weight=opt.min_chain_weight,
-            max_chain_extend=opt.max_chain_extend)
+            max_chain_extend=opt.max_chain_extend,
+                max_mem_intv=opt.max_mem_intv)
 
     def _mapq_vals(self, score, sub, sub_n, qspan, tspan, frac_rep):
         """Float64 mem_approx_mapq_se (identical to _mapq) as scalars."""
@@ -894,6 +904,15 @@ class BWAAligner:
             out.extend(recs)
         return recs
 
+    def _contig_names(self) -> list[str]:
+        """rid -> contig name (works for plain and sharded indexes via
+        the BAM-header view; cached)."""
+        if getattr(self, "_names_cache", None) is None:
+            hdr = self.index.header_from_index()
+            self._names_cache = [hdr.id2name(i)
+                                 for i in range(hdr.num_sequences())]
+        return self._names_cache
+
     def _assemble_records(self, seq: str, name: str, hits: list[dict],
                           hardclip: bool, keep_sec_frac: float,
                           max_secondary: int) -> list[BamRecord]:
@@ -912,7 +931,7 @@ class BWAAligner:
         xa_of: dict[int, list[str]] = {}
         if hits:
             by_slot = {h["slot"]: h for h in hits if h.get("slot", -1) >= 0}
-            anns = self.index.ref.anns
+            names = self._contig_names()
             for h in hits:
                 r = h.get("sec", -1)
                 if r < 0:
@@ -924,7 +943,7 @@ class BWAAligner:
                     f"{ln}{'S' if op == 'N' else op}"
                     for op, ln in h["cigar"])
                 xa_of.setdefault(r, []).append(
-                    f"{anns[h['rid']].name},"
+                    f"{names[h['rid']]},"
                     f"{'-' if h['is_rev'] else '+'}{h['pos'] + 1},"
                     f"{cig},{h['nm']};")
         # sort: MAPQ desc, then rid, then pos (BWAAligner.cpp:6-12)

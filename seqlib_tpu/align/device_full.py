@@ -107,7 +107,7 @@ def _mark_walk_order(score, live):
     "pen_clip5", "pen_clip3", "w", "zdrop", "T",
     "mask_level", "mask_level_redun", "glob_band",
     "split_len", "split_width", "min_chain_weight",
-    "max_chain_extend"))
+    "max_chain_extend", "max_mem_intv"))
 def align_full(fm, text, enc_lens, l_pac: int,
                max_seeds: int = 16, min_seed_len: int = 19,
                max_occ: int = 500, k_occ: int = 16,
@@ -121,7 +121,8 @@ def align_full(fm, text, enc_lens, l_pac: int,
                glob_band: int = 208,
                split_len: int = 28, split_width: int = 10,
                min_chain_weight: int = 0,
-               max_chain_extend: int = 1 << 30):
+               max_chain_extend: int = 1 << 30,
+               max_mem_intv: int = 20):
     """enc_lens: uint8 [B, L+4] — nt4 codes with the read length packed
     little-endian into the last 4 columns (single upload buffer).
 
@@ -143,7 +144,8 @@ def align_full(fm, text, enc_lens, l_pac: int,
         pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w, zdrop=zdrop,
         split_len=split_len, split_width=split_width,
         min_chain_weight=min_chain_weight,
-        max_chain_extend=max_chain_extend)
+        max_chain_extend=max_chain_extend,
+        max_mem_intv=max_mem_intv)
     C = max_chains
     valid0 = out["keep"]
     qb0, qe0 = out["qb"], out["qe"]
@@ -205,8 +207,12 @@ def align_full(fm, text, enc_lens, l_pac: int,
             hit = live[j] & live[i] & (sec[i] == -1) & ov & ~placed
             sec[j] = jnp.where(hit, i, sec[j])
             sub[i] = jnp.where(hit & (sub[i] == 0), score[:, j], sub[i])
+            # bwa's tmp = max(a+b, o_del+e_del, o_ins+e_ins)
+            # (mem_mark_primary_se_core sub_n rule)
+            sub_tmp = max(match + mismatch, o_del + e_del,
+                          o_ins + e_ins)
             subn[i] = jnp.where(
-                hit & (score[:, i] - score[:, j] <= match),
+                hit & (score[:, i] - score[:, j] <= sub_tmp),
                 subn[i] + 1, subn[i])
             placed = placed | hit
     sec_a = jnp.stack(sec, axis=1)

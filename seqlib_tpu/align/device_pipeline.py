@@ -57,22 +57,29 @@ def dp_rows(B: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("max_seeds", "min_seed_len",
                                              "max_occ", "k_occ",
-                                             "split_len", "split_width"))
+                                             "split_len", "split_width",
+                                             "max_mem_intv", "p3_seeds"))
 def seed_and_locate(fm: DeviceFMIndex, reads, lens,
                     max_seeds: int = 16, min_seed_len: int = 19,
                     max_occ: int = 500, k_occ: int = 16,
-                    split_len: int = 28, split_width: int = 10):
-    """Seed scan + long-seed re-seeding + SA locate in one dispatch.
+                    split_len: int = 28, split_width: int = 10,
+                    max_mem_intv: int = 20, p3_seeds: int = 8):
+    """Seed scan (all 3 bwa passes) + SA locate in one dispatch.
 
-    Returns seeds dict + ``pos`` [B, S+1, K] text positions (-1
-    invalid; the extra seed column is bwa-style re-seeding of the
-    longest near-unique seed) + ``rep_cov`` [B] query bases covered by
-    over-max_occ seeds (for frac_rep in the MAPQ formula).
+    Passes: (1) bidirectional SMEMs, (2) re-seeding of the longest
+    near-unique seed (split_factor rule; one extra seed column), (3)
+    bwt_seed_strategy1 low-occurrence tiling seeds (max_mem_intv;
+    p3_seeds extra columns; 0 disables).  Returns seeds dict + ``pos``
+    [B, S+1+p3, K] text positions (-1 invalid) + ``rep_cov`` [B] query
+    bases covered by over-max_occ seeds (for frac_rep in the MAPQ
+    formula).
     """
     from ..ops.fm import smem_collect, smem_reseed
     B = reads.shape[0]
     seeds = smem_collect(fm, reads, lens, max_seeds=max_seeds,
-                         min_seed_len=min_seed_len)
+                         min_seed_len=min_seed_len,
+                         p3_seeds=p3_seeds if max_mem_intv > 0 else 0,
+                         p3_max_intv=max_mem_intv)
     n, sz, il = seeds["n_seeds"], seeds["intv_sz"], seeds["intv_l"]
     qb_s, qe_s = seeds["qbeg"], seeds["qend"]
     s_idx = jnp.arange(max_seeds)[None, :]
@@ -98,7 +105,20 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
     valid_all = jnp.concatenate(
         [seed_valid, ((r_sz > 0) & (r_sz <= max_occ))[:, None]], axis=1)
 
-    S1 = max_seeds + 1
+    # pass 3: low-occurrence tiling seeds (bwt_seed_strategy1),
+    # computed INSIDE smem_collect's while loop (fused lanes — the two
+    # scans share steps and gathers; a separate machine cost ~30 ms a
+    # batch in-program)
+    if max_mem_intv > 0 and p3_seeds > 0:
+        p3_valid = (jnp.arange(p3_seeds)[None, :] < seeds["p3_n"][:, None]) \
+            & (seeds["p3_intv_sz"] > 0) & (seeds["p3_intv_sz"] <= max_occ)
+        qb_all = jnp.concatenate([qb_all, seeds["p3_qbeg"]], axis=1)
+        qe_all = jnp.concatenate([qe_all, seeds["p3_qend"]], axis=1)
+        sz_all = jnp.concatenate([sz_all, seeds["p3_intv_sz"]], axis=1)
+        il_all = jnp.concatenate([il_all, seeds["p3_intv_l"]], axis=1)
+        valid_all = jnp.concatenate([valid_all, p3_valid], axis=1)
+
+    S1 = valid_all.shape[1]
     k_take = jnp.minimum(sz_all, k_occ)
     ranks = il_all[:, :, None] + jnp.arange(k_occ)[None, None, :]
     occ_valid = valid_all[:, :, None] \
@@ -112,7 +132,7 @@ def seed_and_locate(fm: DeviceFMIndex, reads, lens,
     # the taken branch runs).
     flat = ranks.reshape(-1)
     N = flat.shape[0]
-    Mc = 8 * B
+    Mc = 12 * B   # budget grew with the pass-3 seed columns
     val = flat >= 0
     dst = jnp.cumsum(val.astype(jnp.int32)) - 1
     n_val = jnp.sum(val.astype(jnp.int32))
@@ -288,7 +308,7 @@ def chain_device(qb_all, qe_all, pos, l_pac: int, band: int = 100,
     "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
     "pen_clip5", "pen_clip3", "w", "zdrop",
     "split_len", "split_width", "min_chain_weight",
-    "max_chain_extend"))
+    "max_chain_extend", "max_mem_intv"))
 def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
                       l_pac: int,
                       max_seeds: int = 16, min_seed_len: int = 19,
@@ -301,7 +321,8 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
                       w: int = 100, zdrop: int = 0,
                       split_len: int = 28, split_width: int = 10,
                       min_chain_weight: int = 0,
-                      max_chain_extend: int = 1 << 30):
+                      max_chain_extend: int = 1 << 30,
+                      max_mem_intv: int = 20):
     """Fully fused stage 1+2: seed scan + SA locate + chaining +
     left/right extension in ONE device dispatch.
 
@@ -316,7 +337,8 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
     s1 = seed_and_locate(fm, reads, lens, max_seeds=max_seeds,
                          min_seed_len=min_seed_len, max_occ=max_occ,
                          k_occ=k_occ, split_len=split_len,
-                         split_width=split_width)
+                         split_width=split_width,
+                         max_mem_intv=max_mem_intv)
     ch = chain_device(s1["qbeg"], s1["qend"], s1["pos"], l_pac,
                       band=band, max_chain_gap=max_chain_gap,
                       drop_ratio=drop_ratio, max_chains=max_chains,
@@ -581,7 +603,7 @@ def global_and_traceback(q, ql, t, tl,
     "o_del", "e_del", "o_ins", "e_ins", "match", "mismatch",
     "pen_clip5", "pen_clip3", "w", "zdrop",
     "split_len", "split_width", "min_chain_weight",
-    "max_chain_extend"))
+    "max_chain_extend", "max_mem_intv"))
 def seed_chain_extend_packed(fm: DeviceFMIndex, text, reads, lens,
                              l_pac: int, **kw):
     """seed_chain_extend with every output packed into ONE int32

@@ -38,6 +38,7 @@ class AlignerOptions:
     split_factor: float = 1.5  # reseed trigger
     split_width: int = 10
     max_occ: int = 500
+    max_mem_intv: int = 20     # 3rd-pass seeding (bwt_seed_strategy1); 0 off
     max_chain_gap: int = 10000
     min_chain_weight: int = 0
     max_chain_extend: int = 1 << 30

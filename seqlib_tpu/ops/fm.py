@@ -431,7 +431,8 @@ def _machine_impl():
 
 def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
                   max_seeds: int, min_seed_len: int, C: int,
-                  max_rounds: int, step_cap: int):
+                  max_rounds: int, step_cap: int,
+                  p3_seeds: int = 0, p3_max_intv: int = 20):
     """Lockstep per-lane SMEM state machine — ONE flat while_loop, ONE
     scalar-per-lane FMD extension per step.
 
@@ -469,6 +470,14 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
 
     Returns dict(qbeg, qend, intv_l, intv_sz [B, max_seeds], n_seeds,
     n_dropped [B]).
+
+    ``p3_seeds > 0`` additionally runs bwa's third seeding pass
+    (``bwt_seed_strategy1``, see seed_strategy_collect) CONCURRENTLY in
+    the same while loop: the two scans are independent, so fusing them
+    makes total iterations max(steps_smem, steps_p3) instead of their
+    sum, and their per-step rank queries share one stacked [2, B]
+    gather.  Adds p3_qbeg/p3_qend/p3_intv_l/p3_intv_sz [B, p3_seeds]
+    and p3_n to the result.
     """
     B, L = reads.shape
     bidx = jnp.arange(B)
@@ -502,24 +511,102 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
         intv_sz=jnp.zeros((B, max_seeds), jnp.int32),
         n=z_b, nfull=z_b, it=jnp.int32(0),
     )
+    if p3_seeds:
+        st.update(
+            px=z_b, pi=z_b, pk=z_b, pl=z_b, ps=z_b,
+            pneed=jnp.ones(B, jnp.bool_),
+            pdone=lens.astype(jnp.int32) <= 0,
+            p_qspan=jnp.zeros((B, p3_seeds), jnp.int32),
+            p_il=jnp.zeros((B, p3_seeds), jnp.int32),
+            p_isz=jnp.zeros((B, p3_seeds), jnp.int32),
+            pn=z_b, pnfull=z_b)
+        pidx = jnp.arange(p3_seeds, dtype=jnp.int32)[None, :]
 
     def body(st):
         mode = st["mode"]
         is_fwd = mode == _M_FWD
         is_bwd = mode == _M_BWD
         ip = st["i"]
-        ch = reads[bidx, jnp.clip(ip, 0, L - 1)].astype(jnp.int32)
+
+        # ---- strategy-pass (p3) INIT fold-in: start a fresh seed ---
+        if p3_seeds:
+            p_init = st["pneed"] & ~st["pdone"]
+            px = st["px"]
+            pc0 = jnp.where(p_init, reads[bidx, jnp.clip(px, 0, L - 1)],
+                            4).astype(jnp.int32)
+            pc0c = jnp.minimum(pc0, 3)
+            p_ok0 = p_init & (pc0 < 4)
+            p_skip0 = p_init & ~p_ok0
+            pk = jnp.where(p_ok0, (L2[pc0c] + 1).astype(jnp.int32),
+                           st["pk"])
+            pl = jnp.where(p_ok0, (L2[3 - pc0c] + 1).astype(jnp.int32),
+                           st["pl"])
+            ps = jnp.where(p_ok0,
+                           (L2[pc0c + 1] - L2[pc0c]).astype(jnp.int32),
+                           st["ps"])
+            pi = jnp.where(p_ok0, px + 1, st["pi"])
+            px = jnp.where(p_skip0, px + 1, px)
+            pneed = st["pneed"] & ~p_ok0
+            p_ext = ~pneed & ~st["pdone"]
+        if p3_seeds:
+            # ONE stacked reads gather serves both scans
+            idx2 = jnp.stack([jnp.clip(ip, 0, L - 1),
+                              jnp.clip(pi, 0, L - 1)], axis=0)
+            ch2 = reads[jnp.broadcast_to(bidx, (2, B)),
+                        idx2].astype(jnp.int32)
+            ch_raw = ch2[0]
+        else:
+            ch_raw = reads[bidx, jnp.clip(ip, 0, L - 1)].astype(jnp.int32)
         ch = jnp.where((is_fwd & (ip < lens)) | (is_bwd & (ip >= 0)),
-                       ch, 4)
+                       ch_raw, 4)
         ch_ok = ch < 4
 
         # ONE [B] FMD extension for both phases: fwd passes mirrored
         # operands (l, k) and selects complement(ch); bwd passes (bk,
-        # bl) directly and selects ch.
+        # bl) directly and selects ch.  With p3, the strategy scan's
+        # forward extension rides the same call as a second row.
         Ain = jnp.where(is_fwd, st["l"], st["bk"])
         Bin = jnp.where(is_fwd, st["k"], st["bl"])
         Sin = jnp.where(is_fwd, st["s"], st["bs"])
-        K4, L4, S4 = bi_extend_back(fm, Ain, Bin, Sin)   # [B, 4]
+        if p3_seeds:
+            A2 = jnp.stack([Ain, pl], axis=0)
+            B2 = jnp.stack([Bin, pk], axis=0)
+            S2 = jnp.stack([Sin, ps], axis=0)
+            K4s, L4s, S4s = bi_extend_back(fm, A2, B2, S2)  # [2, B, 4]
+            K4, L4, S4 = K4s[0], L4s[0], S4s[0]
+        else:
+            K4, L4, S4 = bi_extend_back(fm, Ain, Bin, Sin)   # [B, 4]
+
+        # ---- strategy-pass step (bwt_seed_strategy1 semantics,
+        # mirrors seed_strategy_collect exactly) ---------------------
+        if p3_seeds:
+            pch = jnp.where(p_ext & (pi < lens), ch2[1], 4)
+            pch_ok = pch < 4
+            pcc = jnp.clip(3 - pch, 0, 3)
+            pnk = _take4(L4s[1], pcc)
+            pnl = _take4(K4s[1], pcc)
+            pns = _take4(S4s[1], pcc)
+            p_hit = p_ext & pch_ok & (pns < p3_max_intv) \
+                & (pi - px >= min_seed_len)
+            p_bad = p_ext & ~pch_ok
+            p_emit = p_hit & (pns > 0)
+            p_can = p_emit & (st["pn"] < p3_seeds)
+            p_hot = p_can[:, None] & (pidx == st["pn"][:, None])
+            p_qspan = jnp.where(
+                p_hot, ((px << 16) | (pi + 1))[:, None], st["p_qspan"])
+            p_il = jnp.where(p_hot, pnk[:, None], st["p_il"])
+            p_isz = jnp.where(p_hot, pns[:, None], st["p_isz"])
+            pn = st["pn"] + p_can.astype(jnp.int32)
+            pnfull = st["pnfull"] + (p_emit & ~p_can).astype(jnp.int32)
+            p_restart = p_hit | p_bad
+            p_adv = p_ext & ~p_restart
+            pk = jnp.where(p_adv, pnk, pk)
+            pl = jnp.where(p_adv, pnl, pl)
+            ps = jnp.where(p_adv, pns, ps)
+            p_newx = jnp.where(p_restart, pi + 1, px)
+            p_newneed = pneed | p_restart
+            pi = jnp.where(p_adv, pi + 1, pi)
+            pdone = st["pdone"] | (p_newneed & (p_newx >= lens))
         cc = jnp.where(is_fwd, jnp.clip(3 - ch, 0, 3),
                        jnp.minimum(ch, 3))
         nk = jnp.where(is_fwd, _take4(L4, cc), _take4(K4, cc))
@@ -622,15 +709,23 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
         i = jnp.where(ok0, x + 1, i)
         sn = jnp.where(ok0, 0, sn)
 
-        return dict(mode=mode, x=x, nx=nx, i=i, k=k, l=l, s=s, end=end,
-                    sk=sk, sl=sl, ss=ss, se=se, sn=sn,
-                    bj=bj, bk=bk, bl=bl, bs=bs, be=be, last_i=last_i,
-                    rounds=rounds, qspan=qspan, intv_l=intv_l,
-                    intv_sz=intv_sz, n=n, nfull=nfull,
-                    it=st["it"] + 1)
+        out = dict(mode=mode, x=x, nx=nx, i=i, k=k, l=l, s=s, end=end,
+                   sk=sk, sl=sl, ss=ss, se=se, sn=sn,
+                   bj=bj, bk=bk, bl=bl, bs=bs, be=be, last_i=last_i,
+                   rounds=rounds, qspan=qspan, intv_l=intv_l,
+                   intv_sz=intv_sz, n=n, nfull=nfull,
+                   it=st["it"] + 1)
+        if p3_seeds:
+            out.update(px=p_newx, pi=pi, pk=pk, pl=pl, ps=ps,
+                       pneed=p_newneed, pdone=pdone, p_qspan=p_qspan,
+                       p_il=p_il, p_isz=p_isz, pn=pn, pnfull=pnfull)
+        return out
 
     def cond(st):
-        return jnp.any(st["mode"] != _M_DONE) & (st["it"] < step_cap)
+        busy = jnp.any(st["mode"] != _M_DONE)
+        if p3_seeds:
+            busy = busy | jnp.any(~st["pdone"])
+        return busy & (st["it"] < step_cap)
 
     # Unrolled machine steps per while iteration: every iteration of a
     # device loop pays a fixed cost PLUS a carry-staging cost
@@ -647,17 +742,25 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
 
     st = jax.lax.while_loop(cond, bodyU, st)
     truncated = (st["mode"] != _M_DONE).astype(jnp.int32)
-    return dict(qbeg=st["qspan"] >> 16, qend=st["qspan"] & 0xFFFF,
-                intv_l=st["intv_l"],
-                intv_sz=st["intv_sz"], n_seeds=st["n"],
-                n_dropped=st["nfull"] + truncated)
+    out = dict(qbeg=st["qspan"] >> 16, qend=st["qspan"] & 0xFFFF,
+               intv_l=st["intv_l"],
+               intv_sz=st["intv_sz"], n_seeds=st["n"],
+               n_dropped=st["nfull"] + truncated)
+    if p3_seeds:
+        out.update(p3_qbeg=st["p_qspan"] >> 16,
+                   p3_qend=st["p_qspan"] & 0xFFFF,
+                   p3_intv_l=st["p_il"], p3_intv_sz=st["p_isz"],
+                   p3_n=st["pn"])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("max_seeds", "min_seed_len",
-                                              "max_prev"))
+                                              "max_prev", "p3_seeds",
+                                              "p3_max_intv"))
 def smem_collect(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
                  max_seeds: int = 16, min_seed_len: int = 19,
-                 max_prev: int = 8):
+                 max_prev: int = 8, p3_seeds: int = 0,
+                 p3_max_intv: int = 20):
     """All bidirectional SMEMs of a read batch (bwa ``mem_collect_intv``
     first pass): pivot x starts at 0; each round runs ``bwt_smem1`` at
     x (forward bi-extension recording every interval-size drop, then a
@@ -672,13 +775,18 @@ def smem_collect(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
     Returns the collect_seeds dict (qbeg, qend exclusive, intv_l,
     intv_sz, n_seeds) so it is a drop-in seeder."""
     B, L = reads.shape
-    return _machine_impl()(
+    # the fused p3 scan exists only in the XLA machine; the Pallas
+    # machine (opt-in) covers the plain-SMEM contract
+    impl = _smem_machine if p3_seeds else _machine_impl()
+    kw = dict(p3_seeds=p3_seeds, p3_max_intv=p3_max_intv) \
+        if p3_seeds else {}
+    return impl(
         fm, reads, lens,
         x0=jnp.zeros(B, jnp.int32),
         min_intv=jnp.ones(B, jnp.int32),
         active=lens > 0,
         max_seeds=max_seeds, min_seed_len=min_seed_len, C=max_prev,
-        max_rounds=L, step_cap=4 * L + 16)
+        max_rounds=L, step_cap=4 * L + 16, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("min_seed_len", "max_prev"))
@@ -711,3 +819,122 @@ def smem_reseed(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
             jnp.where(got, acc["qend"][bidx, pick], z),
             jnp.where(got, acc["intv_l"][bidx, pick], z),
             jnp.where(got, acc["intv_sz"][bidx, pick], z))
+
+
+@functools.partial(jax.jit, static_argnames=("max_seeds", "min_seed_len",
+                                             "max_intv"))
+def seed_strategy_collect(fm: DeviceFMIndex, reads: jax.Array,
+                          lens: jax.Array, max_seeds: int = 8,
+                          min_seed_len: int = 19, max_intv: int = 20):
+    """bwa's THIRD seeding pass (``bwt_seed_strategy1`` driven by
+    ``opt->max_mem_intv``, default 20): from each start x, forward-
+    extend until the interval size first drops below ``max_intv`` with
+    length >= min_seed_len, emit that seed (if its interval is
+    non-empty), and restart at the next position.
+
+    This pass exists because SMEMs are SUPERmaximal: a read whose full
+    length matches one locus exactly yields a single occ-1 SMEM, so a
+    second locus sharing only an interior substring produces NO seed
+    from passes 1-2 and is silently unreachable (caught by
+    tests/test_record_oracle.py — a 3-mismatch planted copy vanished).
+    bwa's pass 3 tiles the read with short low-occurrence seeds that
+    recover such loci.
+
+    Lockstep flat machine, one [B] forward FMD extension per step;
+    ~L steps per lane total (each position is consumed once).
+
+    Returns dict(qbeg, qend, intv_l, intv_sz [B, max_seeds], n_seeds,
+    n_dropped [B])."""
+    B, L = reads.shape
+    bidx = jnp.arange(B)
+    sidx = jnp.arange(max_seeds, dtype=jnp.int32)[None, :]
+    L2 = fm.L2
+    z_b = jnp.zeros(B, jnp.int32)
+    lens = lens.astype(jnp.int32)
+
+    st = dict(
+        x=z_b, i=z_b, k=z_b, l=z_b, s=z_b,
+        need_init=jnp.ones(B, jnp.bool_),
+        done=lens <= 0,
+        qbeg=jnp.zeros((B, max_seeds), jnp.int32),
+        qend=jnp.zeros((B, max_seeds), jnp.int32),
+        intv_l=jnp.zeros((B, max_seeds), jnp.int32),
+        intv_sz=jnp.zeros((B, max_seeds), jnp.int32),
+        n=z_b, nfull=z_b, it=jnp.int32(0))
+
+    def body(st):
+        st = dict(st)
+        # ---- INIT: start a fresh seed at x -------------------------
+        init = st["need_init"] & ~st["done"]
+        x = st["x"]
+        c0 = jnp.where(init, reads[bidx, jnp.clip(x, 0, L - 1)],
+                       4).astype(jnp.int32)
+        c0c = jnp.minimum(c0, 3)
+        ok0 = init & (c0 < 4)
+        skip0 = init & ~ok0                 # N at x: restart at x+1
+        k = jnp.where(ok0, (L2[c0c] + 1).astype(jnp.int32), st["k"])
+        l = jnp.where(ok0, (L2[3 - c0c] + 1).astype(jnp.int32), st["l"])
+        s = jnp.where(ok0, (L2[c0c + 1] - L2[c0c]).astype(jnp.int32),
+                      st["s"])
+        i = jnp.where(ok0, x + 1, st["i"])
+        x = jnp.where(skip0, x + 1, x)
+        need_init = st["need_init"] & ~ok0
+        ext = ~need_init & ~st["done"]
+
+        # ---- one forward FMD extension by reads[i] -----------------
+        ip = jnp.where(ext, i, 0)
+        ch = jnp.where(ext & (ip < lens),
+                       reads[bidx, jnp.clip(ip, 0, L - 1)],
+                       4).astype(jnp.int32)
+        ch_ok = ch < 4
+        K4, L4, S4 = bi_extend_back(fm, l, k, s)
+        cc = jnp.clip(3 - ch, 0, 3)
+        nk = _take4(L4, cc)
+        nl = _take4(K4, cc)
+        ns = _take4(S4, cc)
+        # bwt_seed_strategy1: emit when size < max_intv AND
+        # ``i - x >= min_seed_len`` — i.e. seed LENGTH >= min_seed_len
+        # + 1, bwa's exact (off-by-one) condition.  Empty intervals
+        # are dropped by the caller; restart at i+1 on emit-condition
+        # OR on an invalid base.
+        hit = ext & ch_ok & (ns < max_intv) & (i - x >= min_seed_len)
+        bad = ext & ~ch_ok                  # N at i, or i >= len
+        emit = hit & (ns > 0)
+        can = emit & (st["n"] < max_seeds)
+        hot = can[:, None] & (sidx == st["n"][:, None])
+        st["qbeg"] = jnp.where(hot, x[:, None], st["qbeg"])
+        st["qend"] = jnp.where(hot, (i + 1)[:, None], st["qend"])
+        st["intv_l"] = jnp.where(hot, nk[:, None], st["intv_l"])
+        st["intv_sz"] = jnp.where(hot, ns[:, None], st["intv_sz"])
+        st["n"] = st["n"] + can.astype(jnp.int32)
+        st["nfull"] = st["nfull"] + (emit & ~can).astype(jnp.int32)
+
+        restart = hit | bad
+        adv = ext & ~restart
+        st["k"] = jnp.where(adv, nk, k)
+        st["l"] = jnp.where(adv, nl, l)
+        st["s"] = jnp.where(adv, ns, s)
+        new_x = jnp.where(restart, i + 1, x)
+        new_need = need_init | restart
+        st["x"] = new_x
+        st["i"] = jnp.where(adv, i + 1, i)
+        st["need_init"] = new_need
+        # a lane finishes when its next start position is past the read
+        st["done"] = st["done"] | (new_need & (new_x >= lens))
+        st["it"] = st["it"] + 1
+        return st
+
+    def cond(st):
+        return jnp.any(~st["done"]) & (st["it"] < 2 * L + 8)
+
+    U = 8 if jax.default_backend() != "cpu" else 2
+
+    def bodyU(st):
+        for _ in range(U):
+            st = body(st)
+        return st
+
+    st = jax.lax.while_loop(cond, bodyU, st)
+    return dict(qbeg=st["qbeg"], qend=st["qend"], intv_l=st["intv_l"],
+                intv_sz=st["intv_sz"], n_seeds=st["n"],
+                n_dropped=st["nfull"])

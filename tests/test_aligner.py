@@ -457,3 +457,53 @@ def test_truncation_stress_repeat_and_long_deletion():
     cig = str(recs2[0].cigar)
     assert "200D" in cig, cig
     assert aln2.stats["regions_widened"] > 0
+
+
+def test_xa_tag_duplicated_locus():
+    """A read matching a segment duplicated at two loci: the primary
+    record must carry an XA tag listing the equal-score alternate
+    (``ref,(+-)pos1,cigar,NM;`` — bwa mem_gen_alt semantics under
+    XA_drop_ratio/max_XA_hits), and the alternate's coordinates must
+    match the emitted secondary record."""
+    rng = np.random.default_rng(5)
+    seg = "".join("ACGT"[c] for c in rng.integers(0, 4, 120))
+    sp1 = "".join("ACGT"[c] for c in rng.integers(0, 4, 300))
+    sp2 = "".join("ACGT"[c] for c in rng.integers(0, 4, 300))
+    ref = sp1 + seg + sp2 + seg + sp2[:200]
+    aln = BWAAligner(FMIndex.construct([("dup", ref)]))
+    recs = aln.align_sequence(seg, "r", max_secondary=4)
+    prim = [r for r in recs if not r.secondary_flag()]
+    sec = [r for r in recs if r.secondary_flag()]
+    assert prim and sec
+    xa = prim[0].get_z_tag("XA")
+    assert xa, "primary of a duplicated locus must carry XA"
+    entries = [e for e in xa.split(";") if e]
+    assert len(entries) == len(sec)
+    name, pos, cig, nm = entries[0].split(",")
+    assert name == "dup"
+    assert int(pos.lstrip("+-")) - 1 == sec[0].pos
+    assert pos[0] == ("-" if sec[0].reverse_flag() else "+")
+    assert cig == str(sec[0].cigar)
+    assert int(nm) == sec[0].get_int_tag("NM")
+    # secondaries themselves never carry XA
+    assert all(not s.get_z_tag("XA") for s in sec)
+
+
+def test_xa_respects_drop_ratio():
+    """An alternate below XA_drop_ratio * primary score must not
+    enter XA (bwa get_pri_idx)."""
+    rng = np.random.default_rng(6)
+    seg = "".join("ACGT"[c] for c in rng.integers(0, 4, 120))
+    # second copy mutated enough to score < 0.8x but still > T
+    seg2 = list(seg)
+    for p in range(10, 110, 10):
+        seg2[p] = "A" if seg2[p] != "A" else "C"
+    sp1 = "".join("ACGT"[c] for c in rng.integers(0, 4, 300))
+    sp2 = "".join("ACGT"[c] for c in rng.integers(0, 4, 300))
+    ref = sp1 + seg + sp2 + "".join(seg2) + sp2[:200]
+    aln = BWAAligner(FMIndex.construct([("dr", ref)]))
+    recs = aln.align_sequence(seg, "r", max_secondary=4)
+    prim = [r for r in recs if not r.secondary_flag()]
+    assert prim
+    # the mutated copy scores ~120-10*9=30 < 0.8*120: no XA
+    assert not prim[0].get_z_tag("XA")

@@ -113,12 +113,18 @@ def test_align_ambiguous_fwd_rev(usv_index):
                              max_secondary=1)
     assert brv
     assert brv[0].qname == "name"
-    # the legacy suite pins the reverse-strand hit (ref5) as PRIMARY
-    # (seq_test.cpp:897-903): bwa's mem_mark_primary_se breaks the
-    # score tie with hash_64(region rank), which walks the reverse hit
-    # first.  Record order then follows the reference's aln_sort
-    # (mapq desc, rid asc, pos — BWAAligner.cpp:6-12), which places
-    # the rid-0 secondary at brv[0]; assert both exactly.
+    # Record order: bwa emits BOTH equal-score hits; each gets mapq 0
+    # (mem_approx_mapq_se returns 0 whenever sub >= score, and
+    # mem_mark_primary_se sets the primary's sub to the loser's equal
+    # score).  The reference then sorts with aln_sort = (mapq desc,
+    # rid asc, pos) [BWAAligner.cpp:6-12], which with tied mapqs MUST
+    # place the rid-0 record first.  Note the legacy assertion
+    # seq_test.cpp:898 expects brv[0].ChrID()==2 — that is only
+    # satisfiable if the rid-2 record out-mapqs rid-0, which these
+    # semantics cannot produce with both records emitted; we pin the
+    # order the reference's own comparator implies (rid-0 secondary
+    # first, reverse-strand primary second; primary choice = bwa's
+    # hash_64 score-tie break, which picks the reverse hit).
     assert len(brv) == 2
     assert [r.tid for r in brv] == [0, 2]
     assert brv[0].secondary_flag() and not brv[1].secondary_flag()

@@ -200,3 +200,121 @@ def test_smem_reseed_bidirectional():
         n += 1
         start = i + 1
     assert rsz == n == 3
+
+
+def _count_ov(text: str, pat: str) -> int:
+    n = i = 0
+    while True:
+        j = text.find(pat, i)
+        if j < 0:
+            return n
+        n += 1
+        i = j + 1
+
+
+def _brute_pass3(text2l: str, q: str, min_len: int, max_intv: int):
+    """bwt_seed_strategy1 oracle: from each start x, extend until the
+    occurrence count first drops below max_intv with i - x >= min_len
+    (bwa's exact condition: emitted length is >= min_len + 1); emit if
+    non-empty; restart at i + 1.  Returns [(qb, qe, n_occ)]."""
+    L = len(q)
+    out = []
+    x = 0
+    while x < L:
+        if q[x] not in "ACGT":
+            x += 1
+            continue
+        nxt = L
+        for i in range(x + 1, L):
+            if q[i] not in "ACGT":
+                nxt = i + 1
+                break
+            n = _count_ov(text2l, q[x:i + 1])
+            if n < max_intv and i - x >= min_len:
+                if n > 0:
+                    out.append((x, i + 1, n))
+                nxt = i + 1
+                break
+        x = nxt
+    return out
+
+
+@pytest.mark.parametrize("seed,repeat", [
+    (3, None),
+    (4, ("ACGTACGTACGTACGTACGTACGT", [100, 700, 1400])),
+    (5, ("TTAGGCATTAGGCATTAGGCA", [50, 51 + 400, 52 + 800, 53 + 1200])),
+])
+def test_seed_strategy_vs_oracle(seed, repeat):
+    from seqlib_tpu.ops.fm import seed_strategy_collect
+    ref = _mk_ref(seed=seed, n=2500, repeat=repeat)
+    text2l = ref + _rc(ref)
+    idx = FMIndex.construct([("r", ref)])
+    fm = DeviceFMIndex.from_host(idx)
+    rng = np.random.default_rng(seed + 100)
+    reads = []
+    for _ in range(12):
+        p = int(rng.integers(0, len(ref) - 130))
+        r = list(ref[p:p + 130])
+        for m in range(int(rng.integers(0, 4))):
+            j = int(rng.integers(0, 130))
+            r[j] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    L = max(len(r) for r in reads)
+    enc = np.full((len(reads), L), 4, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        e = encode_nt4(r)
+        enc[i, :len(e)] = e
+        lens[i] = len(e)
+    got = seed_strategy_collect(fm, jnp.asarray(enc), jnp.asarray(lens),
+                                max_seeds=8, min_seed_len=19,
+                                max_intv=20)
+    qb = np.asarray(got["qbeg"]); qe = np.asarray(got["qend"])
+    il = np.asarray(got["intv_l"]); sz = np.asarray(got["intv_sz"])
+    ns = np.asarray(got["n_seeds"])
+    for b, r in enumerate(reads):
+        exp = _brute_pass3(text2l, r, 19, 20)[:8]
+        have = [(int(qb[b, j]), int(qe[b, j]), int(sz[b, j]))
+                for j in range(int(ns[b]))]
+        assert have == exp, (b, have, exp)
+        # every emitted interval must locate to true occurrences
+        for j in range(int(ns[b])):
+            pat = r[qb[b, j]:qe[b, j]]
+            assert _count_ov(text2l, pat) == int(sz[b, j])
+
+
+def test_fused_p3_matches_standalone():
+    """smem_collect(p3_seeds=8) must produce (a) the identical SMEM
+    seed set as the plain call and (b) the identical pass-3 seed set
+    as the standalone seed_strategy_collect machine."""
+    from seqlib_tpu.ops.fm import seed_strategy_collect
+    ref = _mk_ref(seed=7, n=2500,
+                  repeat=("ACGTACGTACGTACGTACGTACGT", [150, 900, 1700]))
+    idx = FMIndex.construct([("r", ref)])
+    fm = DeviceFMIndex.from_host(idx)
+    rng = np.random.default_rng(8)
+    reads = []
+    for _ in range(16):
+        p = int(rng.integers(0, len(ref) - 130))
+        r = list(ref[p:p + 130])
+        for m in range(int(rng.integers(0, 4))):
+            j = int(rng.integers(0, 130))
+            r[j] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    L = max(len(r) for r in reads)
+    enc = np.full((len(reads), L), 4, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        e = encode_nt4(r)
+        enc[i, :len(e)] = e
+        lens[i] = len(e)
+    encj, lensj = jnp.asarray(enc), jnp.asarray(lens)
+    plain = smem_collect(fm, encj, lensj)
+    fused = smem_collect(fm, encj, lensj, p3_seeds=8)
+    solo = seed_strategy_collect(fm, encj, lensj, max_seeds=8)
+    for k in ("qbeg", "qend", "intv_l", "intv_sz", "n_seeds"):
+        assert np.array_equal(np.asarray(plain[k]), np.asarray(fused[k])), k
+    for a, b in (("p3_qbeg", "qbeg"), ("p3_qend", "qend"),
+                 ("p3_intv_l", "intv_l"), ("p3_intv_sz", "intv_sz"),
+                 ("p3_n", "n_seeds")):
+        assert np.array_equal(np.asarray(fused[a]), np.asarray(solo[b])), a
