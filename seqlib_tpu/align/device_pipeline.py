@@ -520,11 +520,15 @@ def global_and_traceback(q, ql, t, tl,
     T = (2 * (Lq + Lt) + 7) // 4 * 4
 
     def cond(st):
-        i, j, state, ops_w, nm, s = st
-        return (s < T) & jnp.any((i > 0) | (j > 0))
+        sv, ops_w, s = st
+        return (s < T) & jnp.any((sv[0] > 0) | (sv[1] > 0))
 
     def step(st):
-        i, j, state, ops_w, nm, s = st
+        # carry = ONE [4, M] tensor (i, j, state, nm) + the packed op
+        # words + the step scalar: per-buffer loop-carry cost dominates
+        # on this runtime (see ops/fm.packed_while_loop)
+        sv, ops_w, s = st
+        i, j, state, nm = sv[0], sv[1], sv[2], sv[3]
         done = (i == 0) & (j == 0)
         code = jnp.take_along_axis(
             dirs_flat,
@@ -572,7 +576,8 @@ def global_and_traceback(q, ql, t, tl,
         col = jax.lax.dynamic_slice(ops_w, (0, wi), (M, 1))
         col = (col & ~(3 << sh)) | (op[:, None] << sh)
         ops_w2 = jax.lax.dynamic_update_slice(ops_w, col, (0, wi))
-        return (i - di, j - dj, new_state, ops_w2, nm + add_nm, s + 1)
+        return (jnp.stack([i - di, j - dj, new_state, nm + add_nm]),
+                ops_w2, s + 1)
 
     def body(st):
         # 8 walk steps per while iteration: amortizes the sequential
@@ -583,11 +588,13 @@ def global_and_traceback(q, ql, t, tl,
         return st
 
     Tw = T // 16 + 1
-    init = (ql.astype(jnp.int32), tl.astype(jnp.int32),
-            jnp.zeros(M, jnp.int32),
+    init = (jnp.stack([ql.astype(jnp.int32), tl.astype(jnp.int32),
+                       jnp.zeros(M, jnp.int32),
+                       jnp.zeros(M, jnp.int32)]),
             jnp.full((M, Tw), -1, jnp.int32),   # all slots OP_NONE (3)
-            jnp.zeros(M, jnp.int32), jnp.int32(0))
-    i, j, state, ops_w, nm, _ = jax.lax.while_loop(cond, body, init)
+            jnp.int32(0))
+    sv, ops_w, _ = jax.lax.while_loop(cond, body, init)
+    nm = sv[3]
     # emit the same 4-codes-per-byte layout the host unpacker expects:
     # byte b of word w holds codes 4b..4b+3 at bits 0/2/4/6
     Tp = (T + 3) // 4 * 4

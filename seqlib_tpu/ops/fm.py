@@ -86,6 +86,52 @@ class DeviceFMIndex:
         )
 
 
+
+
+def packed_while_loop(cond, body, init):
+    """``lax.while_loop`` over a dict state, with the carry packed into
+    ONE tensor per distinct array shape (scalars pass through).
+
+    Motivation (measured on the axon runtime, docs/SEED_MACHINE.md):
+    every loop iteration pays a fixed cost PER CARRIED BUFFER — 24
+    separate [B] carries ran 2.7 ms/iter where one [24, B] carry ran
+    0.19 ms.  The stack/unstack happens inside the fused body, where
+    the data movement is ~free.  Arrays must be int32 or bool (bools
+    ride as int32 rows and are converted back on unpack).
+    """
+    keys = sorted(init)
+    groups: dict = {}
+    scalars = []
+    for k in keys:
+        v = init[k]
+        if getattr(v, "ndim", 0) == 0:
+            scalars.append(k)
+        else:
+            assert v.dtype in (jnp.int32, jnp.bool_), (k, v.dtype)
+            groups.setdefault(v.shape, []).append(k)
+    bools = {k for k in keys if getattr(init[k], "ndim", 0)
+             and init[k].dtype == jnp.bool_}
+    shs = sorted(groups, key=str)
+
+    def pack(d):
+        t = tuple(jnp.stack([d[k].astype(jnp.int32) for k in groups[sh]])
+                  for sh in shs)
+        return t + tuple(d[k] for k in scalars)
+
+    def unpack(c):
+        d = {}
+        for t, sh in zip(c, shs):
+            for j, k in enumerate(groups[sh]):
+                d[k] = t[j].astype(jnp.bool_) if k in bools else t[j]
+        for k, v in zip(scalars, c[len(shs):]):
+            d[k] = v
+        return d
+
+    out = jax.lax.while_loop(lambda c: cond(unpack(c)),
+                             lambda c: pack(body(unpack(c))), pack(init))
+    return unpack(out)
+
+
 # ---------------------------------------------------------------------------
 # rank
 # ---------------------------------------------------------------------------
@@ -234,7 +280,7 @@ def collect_seeds(fm: DeviceFMIndex, reads: jax.Array, lens: jax.Array,
         # body is a no-op for finished reads so overshoot is safe
         return body(body(st))
 
-    st = jax.lax.while_loop(cond, body2, init)
+    st = packed_while_loop(cond, body2, init)
     return dict(qbeg=st["qbeg"], qend=st["qend"], intv_l=st["intv_l"],
                 intv_sz=st["intv_sz"], n_seeds=st["n"])
 
@@ -260,12 +306,11 @@ def reseed_scan(fm: DeviceFMIndex, reads: jax.Array, qb: jax.Array,
     mid = (qb + qe) // 2                       # exclusive end of re-seed
     e = jnp.where(active, mid - 1, -1)
 
-    def cond(st):
-        l, u, p, done, bl, bu, bp, it = st
-        return (~jnp.all(done)) & (it < L)
+    def cond(d):
+        return (~jnp.all(d["done"])) & (d["it"] < L)
 
-    def body(st):
-        l, u, p, done, bl, bu, bp, it = st
+    def body(d):
+        l, u, p, done = d["l"], d["u"], d["p"], d["done"]
         c = jnp.where((p >= 0) & ~done,
                       reads[jnp.arange(B), jnp.maximum(p, 0)],
                       4).astype(jnp.int32)
@@ -278,16 +323,19 @@ def reseed_scan(fm: DeviceFMIndex, reads: jax.Array, qb: jax.Array,
         stop = done | (sz <= occ) | (p < 0)
         keep = ~stop
         best_now = keep & (sz > occ)
-        return (jnp.where(keep, nl, l), jnp.where(keep, nu, u),
-                jnp.where(keep, p - 1, p), stop,
-                jnp.where(best_now, nl, bl), jnp.where(best_now, nu, bu),
-                jnp.where(best_now, p, bp), it + 1)
+        return dict(l=jnp.where(keep, nl, l), u=jnp.where(keep, nu, u),
+                    p=jnp.where(keep, p - 1, p), done=stop,
+                    bl=jnp.where(best_now, nl, d["bl"]),
+                    bu=jnp.where(best_now, nu, d["bu"]),
+                    bp=jnp.where(best_now, p, d["bp"]),
+                    it=d["it"] + 1)
 
-    init = (jnp.zeros(B, jnp.int32), jnp.full(B, n1, jnp.int32),
-            e, ~active,
-            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-            jnp.full(B, -1, jnp.int32), jnp.int32(0))
-    l, u, p, done, bl, bu, bp, _ = jax.lax.while_loop(cond, body, init)
+    init = dict(l=jnp.zeros(B, jnp.int32), u=jnp.full(B, n1, jnp.int32),
+                p=e, done=~active,
+                bl=jnp.zeros(B, jnp.int32), bu=jnp.zeros(B, jnp.int32),
+                bp=jnp.full(B, -1, jnp.int32), it=jnp.int32(0))
+    st = packed_while_loop(cond, body, init)
+    bl, bu, bp = st["bl"], st["bu"], st["bp"]
     qbeg2 = bp
     qend2 = mid
     sz2 = bu - bl
@@ -322,12 +370,11 @@ def sa_lookup(fm: DeviceFMIndex, ranks: jax.Array) -> jax.Array:
         return jnp.where(ranks < 0, -1, pos)
     done0 = (r0 % fm.sa_intv == 0) | (r0 == fm.primary)
 
-    def cond(carry):
-        _, _, done, it = carry
-        return (~jnp.all(done)) & (it < 64 * fm.sa_intv)
+    def cond(d):
+        return (~jnp.all(d["done"])) & (d["it"] < 64 * fm.sa_intv)
 
-    def body(carry):
-        r, steps, done, it = carry
+    def body(d):
+        r, steps, done = d["r"], d["steps"], d["done"]
         pos_in_bwt = r - (r > fm.primary).astype(jnp.int32)
         c = bwt_char(fm, jnp.maximum(pos_in_bwt, 0))
         lf = fm.L2[c] + 1 + rank_full(fm, c, r)
@@ -335,11 +382,14 @@ def sa_lookup(fm: DeviceFMIndex, ranks: jax.Array) -> jax.Array:
         steps_next = jnp.where(done, steps, steps + 1)
         done_next = done | (r_next % fm.sa_intv == 0) \
             | (r_next == fm.primary)
-        return r_next, steps_next, done_next, it + 1
+        return dict(r=r_next, steps=steps_next, done=done_next,
+                    it=d["it"] + 1)
 
-    r, steps, _, _ = jax.lax.while_loop(
+    st = packed_while_loop(
         cond, body,
-        (r0, jnp.zeros_like(r0), done0, jnp.int32(0)))
+        dict(r=r0, steps=jnp.zeros_like(r0), done=done0,
+             it=jnp.int32(0)))
+    r, steps = st["r"], st["steps"]
     base = jnp.where(r == fm.primary, 0, fm.sa_samples[r // fm.sa_intv])
     pos = base + steps
     return jnp.where(ranks < 0, -1, pos)
@@ -740,7 +790,53 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
             st = body(st)
         return st
 
-    st = jax.lax.while_loop(cond, bodyU, st)
+    # The while carry is packed into THREE tensors + a scalar: the
+    # runtime charges a fixed per-BUFFER cost every loop iteration
+    # (measured 14x: 24 separate [B] carries ran 2.7 ms/iter vs
+    # 0.19 ms for one [24, B] carry), so ~30 loose state arrays are
+    # stacked/unstacked inside the fused body where the movement is
+    # free.  Bool fields ride as int32 rows.
+    scalar_keys = ["mode", "x", "nx", "i", "k", "l", "s", "end", "sn",
+                   "bj", "bk", "bl", "bs", "be", "last_i", "rounds",
+                   "n", "nfull"]
+    bool_keys = set()
+    if p3_seeds:
+        scalar_keys += ["px", "pi", "pk", "pl", "ps", "pneed", "pdone",
+                        "pn", "pnfull"]
+        bool_keys = {"pneed", "pdone"}
+    mat_keys = ("sk", "sl", "ss", "se")
+    em_keys = ("qspan", "intv_l", "intv_sz")
+    p3_em = ("p_qspan", "p_il", "p_isz")
+
+    def pack(d):
+        sv = jnp.stack([d[k].astype(jnp.int32) for k in scalar_keys])
+        mt = jnp.stack([d[k] for k in mat_keys])
+        if p3_seeds:
+            em = jnp.stack([jnp.concatenate([d[a], d[b]], axis=1)
+                            for a, b in zip(em_keys, p3_em)])
+        else:
+            em = jnp.stack([d[k] for k in em_keys])
+        return sv, mt, em, d["it"]
+
+    def unpack(c):
+        sv, mt, em, it = c
+        d = {k: (sv[j] != 0 if k in bool_keys else sv[j])
+             for j, k in enumerate(scalar_keys)}
+        for j, k in enumerate(mat_keys):
+            d[k] = mt[j]
+        if p3_seeds:
+            for j, (a, b) in enumerate(zip(em_keys, p3_em)):
+                d[a] = em[j, :, :max_seeds]
+                d[b] = em[j, :, max_seeds:]
+        else:
+            for j, k in enumerate(em_keys):
+                d[k] = em[j]
+        d["it"] = it
+        return d
+
+    st = unpack(jax.lax.while_loop(
+        lambda c: cond(unpack(c)),
+        lambda c: pack(bodyU(unpack(c))), pack(st)))
     truncated = (st["mode"] != _M_DONE).astype(jnp.int32)
     out = dict(qbeg=st["qspan"] >> 16, qend=st["qspan"] & 0xFFFF,
                intv_l=st["intv_l"],
@@ -934,7 +1030,7 @@ def seed_strategy_collect(fm: DeviceFMIndex, reads: jax.Array,
             st = body(st)
         return st
 
-    st = jax.lax.while_loop(cond, bodyU, st)
+    st = packed_while_loop(cond, bodyU, st)
     return dict(qbeg=st["qbeg"], qend=st["qend"], intv_l=st["intv_l"],
                 intv_sz=st["intv_sz"], n_seeds=st["n"],
                 n_dropped=st["nfull"])

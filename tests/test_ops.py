@@ -258,10 +258,12 @@ def test_reseed_scan_finds_repeat_core(tiny):
     lens[0] = 130
     out = seed_and_locate(fm, jnp.asarray(enc), jnp.asarray(lens))
     out = {k: np.asarray(v) for k, v in out.items()}
-    # extra (re-seed) column: a shorter seed with alternate positions
-    qb2, qe2 = out["qbeg"][0, -1], out["qend"][0, -1]
+    # extra (re-seed) column sits right after the max_seeds SMEM
+    # columns (pass-3 tiling columns follow it)
+    RS = 16
+    qb2, qe2 = out["qbeg"][0, RS], out["qend"][0, RS]
     assert qe2 - qb2 >= 19
-    pos2 = out["pos"][0, -1]
+    pos2 = out["pos"][0, RS]
     pos2 = pos2[pos2 >= 0]
     assert pos2.size >= 2          # primary + at least one alt locus
     # one occurrence at the primary locus, one elsewhere
