@@ -12,10 +12,13 @@ sublanes and did a masked O(LQ) query select per row, landing at
   dynamic SUBLANE index into the [LQ, B] query block — one cheap
   slice per row instead of v1's masked O(LQ) reduction per row
   (which made the whole kernel O(LQ^2)).
-* int16 DP state: scores of bwa-scale extensions fit comfortably in
-  int16 (reads <= 1024 bp, |score| < 8k), and (16, 128) int16 tiles
-  double VPU throughput over int32.  Only the one-time final
-  reductions pack into int32.
+* DP state is int32 IN PRACTICE: the design targets int16 (scores of
+  bwa-scale extensions fit in int16, and (16, 128) int16 tiles would
+  double VPU throughput), but this Mosaic version does not lower
+  int16 compares/rotates, so ``i16 = jnp.int32`` below.  Operand
+  layout (16-sublane-aligned query blocks) is already int16-shaped so
+  the switch is a one-line change when Mosaic supports it.  See
+  docs/SW_SPEED_OF_LIGHT.md for the measured-vs-roofline analysis.
 * the same-row E dependency uses the running-max trick: one log2(TW)
   shift-max scan per row along sublanes (pltpu.roll axis 0) with the
   step masks hoisted out of the row loop.

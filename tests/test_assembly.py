@@ -201,6 +201,8 @@ def test_config3_scale_one_contig():
                  for i, s in enumerate(b.m_seqs)])
     f.perform_assembly()
     ctgs = sorted(f.get_contigs(), key=len, reverse=True)
-    assert len(ctgs) <= 3
-    assert len(ctgs[0]) >= 0.95 * len(region)
+    # the 50 kb region must condense to exactly ONE exact-substring
+    # contig covering >=99% of it (round-2 bar; FermiAssembler.cpp:24-39)
+    assert len(ctgs) == 1
+    assert len(ctgs[0]) >= 0.99 * len(region)
     assert ctgs[0] in region or revcomp(ctgs[0]) in region
