@@ -172,6 +172,11 @@ def rans_o0(data: bytes) -> bytes:
 
 def rans_o1(data: bytes) -> bytes:
     n = len(data)
+    if n < 4:
+        # order-1 needs >= 1 byte per interleaved quarter (htscodecs
+        # likewise refuses tiny inputs); callers fall back to order-0
+        raise ValueError("rans_o1 requires at least 4 input bytes; "
+                         "use rans_o0 for tiny buffers")
     nq = n >> 2
     # decode visitation order and per-position context
     order = []

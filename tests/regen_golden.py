@@ -46,9 +46,11 @@ def _align_corpus(aligner, hdr, reads):
     for i in range(0, len(reads), CHUNK):
         chunk = reads[i:i + CHUNK]
         # pad the tail chunk to CHUNK so every dispatch shares one
-        # compiled shape; padded outputs are dropped
-        pad = CHUNK - len(chunk)
-        padded = chunk + chunk[:pad]
+        # compiled shape; padded outputs are dropped.  Repeat the chunk
+        # as many times as needed (a chunk shorter than CHUNK/2 can't
+        # reach CHUNK with a single extension — ADVICE r3).
+        reps = (CHUNK + len(chunk) - 1) // len(chunk)
+        padded = (chunk * reps)[:CHUNK]
         res = aligner.align_batch([s for _, s in padded],
                                   [n for n, _ in padded])
         for recs in res[:len(chunk)]:

@@ -30,17 +30,10 @@ def _golden(name):
 
 
 def _align_corpus(aligner, hdr, reads):
-    out = []
-    for i in range(0, len(reads), CHUNK):
-        chunk = reads[i:i + CHUNK]
-        pad = CHUNK - len(chunk)
-        padded = chunk + chunk[:pad]
-        res = aligner.align_batch([s for _, s in padded],
-                                  [n for n, _ in padded])
-        for recs in res[:len(chunk)]:
-            for r in recs:
-                out.append(r.to_sam(hdr))
-    return out
+    # single source of truth for chunking/padding/record order lives in
+    # the generator (ADVICE r3: the copy here could drift silently)
+    import regen_golden as rg
+    return rg._align_corpus(aligner, hdr, reads)
 
 
 def test_golden_wgsim_4k():
