@@ -52,7 +52,9 @@ class BamReader:
             if magic6 == b"CRAM\x03\x00":
                 from .cram import CramReader
                 self._mode = "cram"
-                self._cram = CramReader(path)
+                self._cram = CramReader(
+                    path,
+                    reference=getattr(self, "_cram_reference", None))
                 self._header = self._cram.header
             elif is_bgzf(path):
                 self._mode = "bam"
@@ -116,11 +118,14 @@ class BamReader:
         self._bgzf = None
         self._sam_fh = None
 
-    def set_cram_reference(self, fasta: str) -> None:
+    def set_cram_reference(self, fasta) -> None:
         """Reference for CRAM decode (parity: SetCramReference
-        BamReader.cpp:159-167).  The subset CRAM profile stores bases
-        verbatim, so this is accepted and recorded but not required."""
+        BamReader.cpp:159-167, htslib hts_set_fai_filename).  Required
+        to decode reference-based (RR=1) CRAMs without embedded
+        reference blocks; accepts a FASTA path, dict, or RefGenome."""
         self._cram_reference = fasta
+        if getattr(self, "_cram", None):
+            self._cram.set_reference(fasta)
 
     def reset(self) -> None:
         """Close + reopen, dropping regions (BamReader.cpp:56-62)."""

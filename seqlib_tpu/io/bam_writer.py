@@ -54,7 +54,9 @@ class BamWriter:
             elif fmt == CRAM:
                 from .cram import CramWriter
                 target = sys.stdout.buffer if path == "-" else path
-                self._cram = CramWriter(target)
+                self._cram = CramWriter(
+                    target,
+                    reference=getattr(self, "_cram_reference", None))
             else:
                 target = sys.stdout.buffer if path == "-" else path
                 self._bgzf = BgzfWriter(target)
@@ -64,6 +66,17 @@ class BamWriter:
 
     def is_open(self) -> bool:
         return self._bgzf is not None or self._sam_fh is not None
+
+    def set_cram_reference(self, fasta) -> None:
+        """Attach a reference for CRAM output — switches the CRAM
+        writer to the reference-based profile (RR=1), the behavior the
+        reference gets from hts_set_fai_filename
+        (/root/reference/src/BamWriter.cpp:133-167).  Accepts a FASTA
+        path, dict name->seq, or RefGenome; call before/after Open but
+        before the first flushed container."""
+        self._cram_reference = fasta
+        if self._cram is not None:
+            self._cram.set_reference(fasta)
 
     # -- header (BamWriter.cpp:14-33) ---------------------------------------
 

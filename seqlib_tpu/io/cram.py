@@ -234,7 +234,7 @@ CORE = 5
 _DS_IDS = {k: i + 1 for i, k in enumerate(
     ["BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP", "TS",
      "NF", "TL", "FN", "FC", "FP", "DL", "RS", "PD", "HC", "MQ", "BA",
-     "QS", "SC", "IN", "BB", "BBL"])}
+     "QS", "SC", "IN", "BB", "BBL", "BS"])}
 
 _DEFAULT_SM = bytes([0x1B, 0x1B, 0x1B, 0x1B, 0x1B])
 
@@ -291,15 +291,19 @@ def _enc_bytes(codec_id: int, params: bytes) -> bytes:
     return write_itf8(codec_id) + write_itf8(len(params)) + params
 
 
-def build_compression_header(tag_lines: list[list[tuple[str, str]]]
-                             ) -> bytes:
-    """Preservation map + data-series encodings + tag encodings for
-    the writer's profile (reference-free: RR=0, all bases carried by
-    features; spec section 8.4)."""
+def build_compression_header(tag_lines: list[list[tuple[str, str]]],
+                             rr: bool = False) -> bytes:
+    """Preservation map + data-series encodings + tag encodings.
+
+    Two writer profiles (spec section 8.4): reference-free (RR=0, all
+    bases carried by 'b' features) and reference-based (RR=1, bases
+    implicit from the reference with X/BS substitution features —
+    htslib's default profile, the capability the reference gets from
+    hts_set_fai_filename, /root/reference/src/BamWriter.cpp:133-167)."""
     pres = [
         (b"RN", b"\x01"),            # read names preserved
         (b"AP", b"\x00"),            # AP not delta-encoded
-        (b"RR", b"\x00"),            # no reference required
+        (b"RR", b"\x01" if rr else b"\x00"),
         (b"SM", _DEFAULT_SM),
         (b"TD", (lambda td: write_itf8(len(td)) + td)(
             b"".join(b"".join(t.encode() + y.encode()
@@ -307,9 +311,10 @@ def build_compression_header(tag_lines: list[list[tuple[str, str]]]
                      for line in tag_lines))),
     ]
     ds = []
-    for key in ["BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP",
-                "TS", "NF", "TL", "FN", "FP", "DL", "RS", "PD", "HC",
-                "MQ"]:
+    keys = ["BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP",
+            "TS", "NF", "TL", "FN", "FP", "DL", "RS", "PD", "HC",
+            "MQ"] + (["BS"] if rr else [])
+    for key in keys:
         cid, params = enc_external(_DS_IDS[key])
         ds.append((key.encode(), _enc_bytes(cid, params)))
     for key in ["BA", "QS", "FC"]:
@@ -420,7 +425,8 @@ def read_slice_header(data: bytes):
         ids.append(v)
     emb, off = read_itf8(data, off)
     return dict(ref_id=_u2i(ref_id), start=start, span=span,
-                n_rec=n_rec, counter=counter, content_ids=ids)
+                n_rec=n_rec, counter=counter, content_ids=ids,
+                embedded_ref_id=_u2i(emb))
 
 
 def _u2i(v: int) -> int:
@@ -430,9 +436,106 @@ def _u2i(v: int) -> int:
 _CIGAR_FEAT = {"I": "I", "D": "D", "S": "S", "N": "N", "H": "H",
                "P": "P"}
 
+# ---------------------------------------------------------------------------
+# reference plumbing (RR=1 profile)
+# ---------------------------------------------------------------------------
 
-def _encode_records(recs: list[BamRecord]):
-    """Records -> (external block bytes by content id, tag_lines)."""
+_BASES = "ACGTN"
+
+
+def _sm_sub_base(sm: bytes, ref_base: int, code: int) -> int:
+    """Decode a BS substitution code (spec section 10.2): the SM byte
+    for reference base r packs 2-bit codes for the 4 alternative bases
+    in ACGTN-minus-r order (first alternative in bits 7..6); the read
+    base is the alternative whose packed code equals ``code``."""
+    r = chr(ref_base).upper()
+    ri = _BASES.find(r)
+    if ri < 0:
+        ri = 4
+    byte = sm[ri]
+    k = 0
+    for b in _BASES:
+        if b == _BASES[ri]:
+            continue
+        if (byte >> (6 - 2 * k)) & 3 == code:
+            return ord(b)
+        k += 1
+    return ord("N")
+
+
+def _sm_sub_code(sm: bytes, ref_base: str, read_base: str) -> int | None:
+    """Encode: ref base + read base -> BS code, or None when the pair
+    is not representable (non-ACGTN read base)."""
+    ri = _BASES.find(ref_base.upper())
+    if ri < 0:
+        ri = 4
+    rb = read_base.upper()
+    byte = sm[ri]
+    k = 0
+    for b in _BASES:
+        if b == _BASES[ri]:
+            continue
+        if b == rb:
+            return (byte >> (6 - 2 * k)) & 3
+        k += 1
+    return None
+
+
+def make_ref_get(reference, header: BamHeader):
+    """Normalize a reference argument into ``ref_get(tid, pos0, ln) ->
+    uppercase bytes`` (N-padded out of range).  Accepts a dict
+    name->sequence, a FASTA path (faidx random access via RefGenome),
+    or any object with ``query_region(name, p1, p2)``.
+
+    Parity role: the reference attaches a reference to HTSlib's CRAM
+    codec with hts_set_fai_filename
+    (/root/reference/src/BamWriter.cpp:133-167,
+    src/BamReader.cpp:159-167)."""
+    if reference is None:
+        return None
+    if isinstance(reference, str):
+        from .refgenome import RefGenome
+        rg = RefGenome(reference)
+        src = rg
+    else:
+        src = reference
+
+    cache: dict[int, bytes] = {}
+
+    def fetch_contig(tid: int) -> bytes:
+        seq = cache.get(tid)
+        if seq is None:
+            name = header.id2name(tid)
+            if isinstance(src, dict):
+                seq = src.get(name, "").upper().encode()
+            else:
+                n = src.get_sequence_length(name) \
+                    if hasattr(src, "get_sequence_length") else -1
+                seq = src.query_region(name, 0, n - 1).upper().encode() \
+                    if n > 0 else b""
+            cache[tid] = seq
+        return seq
+
+    def ref_get(tid: int, pos0: int, ln: int) -> bytes:
+        if ln <= 0:
+            return b""
+        seq = fetch_contig(tid)
+        lo = max(pos0, 0)
+        hi = min(pos0 + ln, len(seq))
+        body = seq[lo:hi] if hi > lo else b""
+        return (b"N" * (lo - pos0) + body
+                + b"N" * (ln - (lo - pos0) - len(body)))
+
+    return ref_get
+
+
+def _encode_records(recs: list[BamRecord], ref_get=None,
+                    sm: bytes = _DEFAULT_SM):
+    """Records -> (external block bytes by content id, tag_lines).
+
+    With ``ref_get`` the reference-based profile is produced (RR=1):
+    matching bases are implicit, substitutions become X/BS features,
+    and only insert/clip bases are carried verbatim."""
     cols: dict[int, bytearray] = {i: bytearray()
                                   for i in _DS_IDS.values()}
     tag_lines: list[list[tuple[str, str]]] = []
@@ -449,13 +552,13 @@ def _encode_records(recs: list[BamRecord]):
         put("CF", cf)
         put("RI", r.tid)
         put("RL", len(seq))
-        put("AP", r.pos)
+        put("AP", r.pos + 1)              # AP is 1-based (spec 10.3)
         put("RG", -1)
         cols[_DS_IDS["RN"]] += r.qname.encode() + b"\x00"
         mf = (1 if (r.flag & 0x20) else 0) | (2 if (r.flag & 0x8) else 0)
         put("MF", mf)
         put("NS", r.mtid)
-        put("NP", r.mpos)
+        put("NP", r.mpos + 1)             # NP is 1-based (spec 10.3)
         put("TS", r.isize)
         line = tuple(sorted((t, ty) for t, (ty, v) in r.tags.items()))
         tl = line_index.get(line)
@@ -473,14 +576,40 @@ def _encode_records(recs: list[BamRecord]):
         if r.flag & 0x4:                      # unmapped: BA verbatim
             cols[_DS_IDS["BA"]] += seq.encode()
         else:
-            # features from CIGAR (reference-free: M runs carried by
-            # 'b' features, so RR=0 decoders reconstruct everything)
+            # features from CIGAR.  Reference-free: M runs carried by
+            # 'b' features.  Reference-based (RR=1): matches implicit,
+            # substitutions as X (BS code) or B (verbatim base+qual).
             feats = []                        # (fp_pos_1based, code, payload)
             qpos = 1
-            for field in r.cigar:
+            refpos = r.pos                    # 0-based reference cursor
+            fields = list(r.cigar)
+            if ref_get is not None and not fields and seq:
+                # mapped record without a CIGAR: carry bases verbatim
+                feats.append((1, "b", seq))
+            for field in fields:
                 op, ln = field.type, field.length
                 if op in ("M", "=", "X"):
-                    feats.append((qpos, "b", seq[qpos - 1:qpos - 1 + ln]))
+                    if ref_get is None:
+                        feats.append((qpos,
+                                      "b", seq[qpos - 1:qpos - 1 + ln]))
+                    else:
+                        refseg = ref_get(r.tid, refpos, ln)
+                        sseg = seq[qpos - 1:qpos - 1 + ln].upper()
+                        for k in range(ln):
+                            qb = sseg[k]
+                            rb = chr(refseg[k])
+                            if qb == rb:
+                                continue      # implicit match
+                            code = _sm_sub_code(sm, rb, qb)
+                            if code is not None:
+                                feats.append((qpos + k, "X", code))
+                            else:             # exotic base: verbatim
+                                qv = int(r.qual[qpos - 1 + k]) & 0xFF \
+                                    if r.qual is not None else 0xFF
+                                feats.append((qpos + k, "B",
+                                              (ord(seq[qpos - 1 + k]),
+                                               qv)))
+                        refpos += ln
                     qpos += ln
                 elif op == "I":
                     feats.append((qpos, "I", seq[qpos - 1:qpos - 1 + ln]))
@@ -490,8 +619,10 @@ def _encode_records(recs: list[BamRecord]):
                     qpos += ln
                 elif op == "D":
                     feats.append((qpos, "D", ln))
+                    refpos += ln
                 elif op == "N":
                     feats.append((qpos, "N", ln))
+                    refpos += ln
                 elif op == "H":
                     feats.append((qpos, "H", ln))
                 elif op == "P":
@@ -505,6 +636,12 @@ def _encode_records(recs: list[BamRecord]):
                 if code == "b":
                     cols[_DS_IDS["BBL"]] += write_itf8(len(payload))
                     cols[_DS_IDS["BB"]] += payload.encode()
+                elif code == "X":
+                    cols[_DS_IDS["BS"]] += write_itf8(payload)
+                elif code == "B":
+                    ba, qv = payload
+                    cols[_DS_IDS["BA"]].append(ba)
+                    cols[_DS_IDS["QS"]].append(qv)
                 elif code == "I":
                     cols[_DS_IDS["IN"]] += payload.encode() + b"\x00"
                 elif code == "S":
@@ -532,12 +669,35 @@ def _encode_records(recs: list[BamRecord]):
 
 def _decode_records(ch: CompressionHeader, slc: dict,
                     ext: dict[int, bytes], core_data: bytes,
-                    ref_names_len: int) -> list[BamRecord]:
+                    ref_names_len: int, ref_get=None,
+                    embedded=None) -> list[BamRecord]:
     """Generic CRAM 3.0 record decode driven by the compression
-    header's encoding maps (spec section 8.5)."""
+    header's encoding maps (spec section 8.5).
+
+    ``ref_get(tid, pos0, ln)`` supplies reference bases for RR=1
+    slices; ``embedded`` is (bytes, start0) when the slice carries an
+    embedded reference block (spec 8.5: embedded ref overrides the
+    external one).  MD5 slice checksums are not verified."""
     streams = {cid: ByteStream(d) for cid, d in ext.items()}
     core = BitReader(core_data)
     S = ch.series
+
+    def ref_fetch(tid, pos0, ln):
+        if ln <= 0:
+            return b""
+        if embedded is not None:
+            data0, s0 = embedded
+            lo = pos0 - s0
+            a, b = max(lo, 0), min(lo + ln, len(data0))
+            body = data0[a:b] if b > a else b""
+            return (b"N" * (a - lo) + body
+                    + b"N" * (ln - (a - lo) - len(body)))
+        if ref_get is None:
+            raise ValueError(
+                "CRAM: reference-based slice (RR=1) needs a reference"
+                " — supply one via CramReader(reference=...) /"
+                " BamReader.set_cram_reference")
+        return ref_get(tid, pos0, ln)
 
     def r_int(key, default=None):
         c = S.get(key)
@@ -573,7 +733,7 @@ def _decode_records(ch: CompressionHeader, slc: dict,
             if not ch.rn:
                 r.qname = r_bytes_arr("RN").decode()
             r.mtid = _u2i(r_int("NS"))
-            r.mpos = _u2i(r_int("NP"))
+            r.mpos = _u2i(r_int("NP")) - 1   # NP is 1-based (spec 10.3)
             r.isize = _u2i(r_int("TS"))
             bf |= (0x20 if (mf & 1) else 0) | (0x8 if (mf & 2) else 0)
         elif cf & 4:                      # mate downstream
@@ -589,6 +749,10 @@ def _decode_records(ch: CompressionHeader, slc: dict,
             fn = r_int("FN")
             qpos = 1
             cpos = 1                      # next unaccounted read base
+            ap0 = ap - 1                  # AP is 1-based (spec 10.3)
+            use_ref = ch.rr and tid >= 0
+            roff = 0                      # reference bases consumed
+
             def add(op, ln):
                 if ln <= 0:
                     return
@@ -596,6 +760,17 @@ def _decode_records(ch: CompressionHeader, slc: dict,
                     cig[-1] = (op, cig[-1][1] + ln)
                 else:
                     cig.append((op, ln))
+
+            def fill(g):
+                """Implicit-match gap of g bases: with a reference the
+                bases come from it; reference-free they stay N unless a
+                'b' feature carried them."""
+                nonlocal roff
+                if use_ref and g > 0:
+                    seq[cpos - 1:cpos - 1 + g] = \
+                        ref_fetch(tid, ap0 + roff, g)
+                roff += g
+
             for _f in range(fn):
                 fc = chr(S["FC"].read_byte(core, streams))
                 fp = r_int("FP")
@@ -604,62 +779,83 @@ def _decode_records(ch: CompressionHeader, slc: dict,
                 if fc == "b":
                     bb = r_bytes_arr("BB")
                     add("M", qpos - cpos)
+                    fill(qpos - cpos)
                     seq[qpos - 1:qpos - 1 + len(bb)] = bb
                     add("M", len(bb))
+                    roff += len(bb)
                     cpos = qpos + len(bb)
                 elif fc == "X":
                     sub = r_int("BS")
                     add("M", qpos - cpos + 1)
-                    cpos = qpos + 1       # base unknown without ref
+                    fill(qpos - cpos)
+                    if use_ref:
+                        rb = ref_fetch(tid, ap0 + roff, 1)[0]
+                        seq[qpos - 1] = _sm_sub_base(ch.sm, rb, sub)
+                    roff += 1
+                    cpos = qpos + 1
                 elif fc == "B":
                     ba = S["BA"].read_byte(core, streams)
                     S["QS"].read_byte(core, streams)
                     add("M", qpos - cpos + 1)
+                    fill(qpos - cpos)
                     seq[qpos - 1] = ba
+                    roff += 1
                     cpos = qpos + 1
                 elif fc == "i":
                     ba = S["BA"].read_byte(core, streams)
                     add("M", qpos - cpos)
+                    fill(qpos - cpos)
                     add("I", 1)
                     seq[qpos - 1] = ba
                     cpos = qpos + 1
                 elif fc == "I":
                     ins = r_bytes_arr("IN")
                     add("M", qpos - cpos)
+                    fill(qpos - cpos)
                     add("I", len(ins))
                     seq[qpos - 1:qpos - 1 + len(ins)] = ins
                     cpos = qpos + len(ins)
                 elif fc == "S":
                     sc = r_bytes_arr("SC")
                     add("M", qpos - cpos)
+                    fill(qpos - cpos)
                     add("S", len(sc))
                     seq[qpos - 1:qpos - 1 + len(sc)] = sc
                     cpos = qpos + len(sc)
                 elif fc == "D":
-                    add("M", qpos - cpos + 1 - 1)
-                    add("D", r_int("DL"))
+                    add("M", qpos - cpos)
+                    fill(qpos - cpos)
+                    dl = r_int("DL")
+                    add("D", dl)
+                    roff += dl
                     cpos = qpos
                 elif fc == "N":
                     add("M", qpos - cpos)
-                    add("N", r_int("RS"))
+                    fill(qpos - cpos)
+                    rs = r_int("RS")
+                    add("N", rs)
+                    roff += rs
                     cpos = qpos
                 elif fc == "H":
                     add("M", qpos - cpos)
+                    fill(qpos - cpos)
                     add("H", r_int("HC"))
                     cpos = qpos
                 elif fc == "P":
                     add("M", qpos - cpos)
+                    fill(qpos - cpos)
                     add("P", r_int("PD"))
                     cpos = qpos
                 elif fc == "Q":
+                    # single quality substitution: base stays an
+                    # implicit match; no cigar/ref effect
                     S["QS"].read_byte(core, streams)
-                    cpos = qpos
                 elif fc == "q":
                     r_bytes_arr("QQ")
-                    cpos = qpos
                 else:
                     raise ValueError(f"CRAM: feature code {fc!r}")
             add("M", rl - cpos + 1)
+            fill(rl - cpos + 1)
             r.mapq = r_int("MQ")
         else:
             ba = streams[S["BA"].content_id].read_bytes(rl)                 if S.get("BA") and S["BA"].id == 1 else b"N" * rl
@@ -669,7 +865,7 @@ def _decode_records(ch: CompressionHeader, slc: dict,
             r.qual = np.frombuffer(q, np.uint8).copy() if q else None
         r.flag = bf
         r.tid = tid
-        r.pos = ap
+        r.pos = ap - 1                    # AP is 1-based (spec 10.3)
         r.seq = seq.decode()
         if cig:
             r.cigar = Cigar([CigarField(o, ln) for o, ln in cig])
@@ -684,7 +880,12 @@ def _decode_records(ch: CompressionHeader, slc: dict,
 class CramWriter:
     RECORDS_PER_CONTAINER = 10000
 
-    def __init__(self, path_or_fileobj):
+    def __init__(self, path_or_fileobj, reference=None):
+        """``reference`` (dict name->seq, FASTA path, or RefGenome)
+        switches the writer to the reference-based profile (RR=1) —
+        the profile htslib emits by default when the reference attaches
+        one via hts_set_fai_filename
+        (/root/reference/src/BamWriter.cpp:133-167)."""
         if hasattr(path_or_fileobj, "write"):
             self._fh = path_or_fileobj
             self._owns = False
@@ -695,6 +896,14 @@ class CramWriter:
         self._pending: list[BamRecord] = []
         self._counter = 0
         self._header_written = False
+        self._reference = reference
+        self._ref_get = None
+        self._header: BamHeader | None = None
+
+    def set_reference(self, reference) -> None:
+        """Attach/replace the reference before any record is flushed."""
+        self._reference = reference
+        self._ref_get = None
 
     def write_header(self, hdr: BamHeader) -> None:
         text = hdr.as_string().encode()
@@ -702,6 +911,7 @@ class CramWriter:
                           struct.pack("<i", len(text)) + text)
         self._fh.write(write_container([blk], ref_id=-1))
         self._header_written = True
+        self._header = hdr
 
     def write_record(self, rec: BamRecord) -> None:
         self._pending.append(rec)
@@ -712,9 +922,15 @@ class CramWriter:
         if not self._pending:
             return
         recs = self._pending
-        ext, tag_lines = _encode_records(recs)
+        if self._reference is not None and self._ref_get is None:
+            if self._header is None:
+                raise ValueError("CramWriter: write_header before "
+                                 "records when a reference is set")
+            self._ref_get = make_ref_get(self._reference, self._header)
+        ext, tag_lines = _encode_records(recs, ref_get=self._ref_get)
         comp = write_block(GZIP, COMPRESSION_HEADER, 0,
-                           build_compression_header(tag_lines))
+                           build_compression_header(
+                               tag_lines, rr=self._ref_get is not None))
         cids = sorted(ext)
         sl = write_block(GZIP, SLICE_HEADER, 0, write_slice_header(
             -2, 0, 0, len(recs), self._counter, cids))
@@ -739,7 +955,11 @@ class CramWriter:
 
 
 class CramReader:
-    def __init__(self, path_or_fileobj):
+    def __init__(self, path_or_fileobj, reference=None):
+        """``reference`` (dict name->seq, FASTA path, or RefGenome) is
+        required to decode reference-based (RR=1) slices without an
+        embedded reference block (parity: hts_set_fai_filename,
+        /root/reference/src/BamReader.cpp:159-167)."""
         if hasattr(path_or_fileobj, "read"):
             self._fh = path_or_fileobj
         else:
@@ -751,6 +971,12 @@ class CramReader:
         self.header = self._read_header_container()
         self._queue: list[BamRecord] = []
         self._eof = False
+        self._reference = reference
+        self._ref_get = None
+
+    def set_reference(self, reference) -> None:
+        self._reference = reference
+        self._ref_get = None
 
     def _read_header_container(self) -> BamHeader:
         ch = read_container_header(self._fh)
@@ -788,12 +1014,24 @@ class CramReader:
             if comp_hdr is None:
                 raise ValueError("CRAM: container missing "
                                  "compression header")
+            if comp_hdr.rr and self._ref_get is None \
+                    and self._reference is not None:
+                self._ref_get = make_ref_get(self._reference,
+                                             self.header)
             out = []
             for slc, ext, core in slices:
+                embedded = None
+                emb_id = slc.get("embedded_ref_id", -1)
+                if emb_id is not None and emb_id >= 0 \
+                        and emb_id in ext:
+                    # embedded reference block covers the slice span
+                    # starting at its (1-based) start position
+                    embedded = (ext[emb_id], slc["start"] - 1)
                 out.extend(_decode_records(
                     comp_hdr, slc, ext, bytes(core),
                     self.header.num_sequences()
-                    if hasattr(self.header, "num_sequences") else 0))
+                    if hasattr(self.header, "num_sequences") else 0,
+                    ref_get=self._ref_get, embedded=embedded))
             self._queue = out
         if self._queue:
             return self._queue.pop(0)

@@ -337,7 +337,8 @@ def main():
 
     cids = [AP_ID, RNV_ID, FP_ID, MQ_ID, SC_ID, BBL_ID, BB_ID,
             BA_ID, QS_ID, XT_KEY]
-    slice_hdr = (itf8(0) + itf8(100) + itf8(60) + itf8(3) + ltf8(0)
+    # slice start 101 = 1-based position 101 -> first record pos0 100
+    slice_hdr = (itf8(0) + itf8(101) + itf8(60) + itf8(3) + ltf8(0)
                  + itf8(len(cids)) + b"".join(itf8(c) for c in cids)
                  + itf8(0xFFFFFFFF) + b"\x00" * 16)
 
@@ -365,10 +366,126 @@ def main():
     with open(OUT, "wb") as f:
         f.write(b"CRAM\x03\x00" + b"interop-fixture".ljust(20, b"\x00"))
         f.write(container([hdr_block], -1, 0, 0, 0, 0, 0))
-        f.write(container(blocks, 0, 100, 60, 3, 0, 24))
+        f.write(container(blocks, 0, 101, 60, 3, 0, 24))
         f.write(EOF)
     print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes)")
 
 
+# ---------------------------------------------------------------------------
+# RR=1 (reference-based) fixtures: embedded- and external-reference
+# variants.  Matching bases are IMPLICIT (not stored anywhere in the
+# file), substitutions are X features with BS codes under a
+# NON-default substitution matrix — the profile htslib emits by
+# default and the production CramWriter's RR=0 path never produces.
+# ---------------------------------------------------------------------------
+
+# chr1[100:160] (0-based); the full chr1 is N*100 + RR1_SEG + N-pad
+RR1_SEG = "ACGTTGCAACGTGGATCCTAGGCATCGATCGGATTACAGGCATGCATCGTACGTACGTA"
+# custom SM: per reference base (ACGTN order), 2-bit codes for the 4
+# alternative bases in ACGTN-minus-ref order, first alt in bits 7..6
+RR1_SM = bytes([0x93,    # A: C=2 G=1 T=0 N=3
+                0x1B,    # C: A=0 G=1 T=2 N=3
+                0xE4,    # G: A=3 C=2 T=1 N=0
+                0x4B,    # T: A=1 C=0 G=2 N=3
+                0x1B])   # N: A=0 C=1 G=2 T=3
+RR1_EMB_ID = 200
+
+
+def gen_rr1(embedded: bool, out_path: str) -> None:
+    ap_id, rnv_id, fp_id, bs_id, mq_id, sc_id = 110, 111, 112, 113, \
+        114, 115
+
+    def huff_params(symbols, lengths):
+        return (itf8(len(symbols)) + b"".join(itf8(s) for s in symbols)
+                + itf8(len(lengths)) + b"".join(itf8(x) for x in lengths))
+
+    series = [
+        (b"BF", enc(3, huff_params([0], [0]))),          # const 0
+        (b"CF", enc(3, huff_params([0], [0]))),          # const 0
+        (b"RL", enc(6, itf8(0) + itf8(4))),              # BETA 4 bits
+        (b"AP", enc(1, itf8(ap_id))),
+        (b"RN", enc(4, enc(6, itf8(0) + itf8(3))
+                    + enc(1, itf8(rnv_id)))),
+        (b"TL", enc(3, huff_params([0], [0]))),          # const 0
+        (b"FN", enc(3, huff_params([0, 2, 3], [1, 2, 2]))),
+        (b"FC", enc(3, huff_params([ord("X"), ord("S"), ord("D")],
+                                   [1, 2, 2]))),
+        (b"FP", enc(1, itf8(fp_id))),
+        (b"BS", enc(1, itf8(bs_id))),
+        (b"DL", enc(6, itf8(0) + itf8(3))),              # BETA 3 bits
+        (b"MQ", enc(1, itf8(mq_id))),
+        (b"SC", enc(5, bytes([0]) + itf8(sc_id))),
+    ]
+    td = b"\x00"                                         # line0: no tags
+    pres = [(b"RN", b"\x01"), (b"AP", b"\x01"), (b"RR", b"\x01"),
+            (b"SM", RR1_SM), (b"TD", itf8(len(td)) + td)]
+    comp_hdr = cmap(pres) + cmap(series) + cmap([])
+
+    fn_codes = huffman_codes([0, 2, 3], [1, 2, 2])
+    fc_codes = huffman_codes([ord("X"), ord("S"), ord("D")], [1, 2, 2])
+    core = Bits()
+
+    def hput(codes, sym):
+        c, ln = codes[sym]
+        core.put(c, ln)
+
+    # rec1 rr1a: ap 101, 12M with X@4 (code 0 on ref T -> C) and
+    # X@9 (code 1 on ref A -> G)
+    core.put(12, 4); core.put(4, 3)
+    hput(fn_codes, 2)
+    hput(fc_codes, ord("X")); hput(fc_codes, ord("X"))
+    # rec2 rr1b: ap 131, 2S5M3D3M with X@5 (code 0 on ref A -> T)
+    core.put(10, 4); core.put(4, 3)
+    hput(fn_codes, 3)
+    hput(fc_codes, ord("S")); hput(fc_codes, ord("X"))
+    hput(fc_codes, ord("D")); core.put(3, 3)
+    # rec3 rr1c: ap 141, 8M fully implicit (no base data in the file)
+    core.put(8, 4); core.put(4, 3)
+    hput(fn_codes, 0)
+
+    ap = itf8(0) + itf8(30) + itf8(10)
+    rn = b"rr1arr1brr1c"
+    fp = itf8(4) + itf8(5) + itf8(1) + itf8(4) + itf8(3)
+    bs = itf8(0) + itf8(1) + itf8(0)
+    mq = itf8(60) + itf8(33) + itf8(7)
+    sc = b"GT\x00"
+
+    cids = [ap_id, rnv_id, fp_id, bs_id, mq_id, sc_id]
+    if embedded:
+        cids.append(RR1_EMB_ID)
+    slice_hdr = (itf8(0) + itf8(101) + itf8(60) + itf8(3) + ltf8(0)
+                 + itf8(len(cids)) + b"".join(itf8(c) for c in cids)
+                 + itf8(RR1_EMB_ID if embedded else 0xFFFFFFFF)
+                 + b"\x00" * 16)
+
+    blocks = [
+        block(GZIP, COMP_HDR, 0, comp_hdr),
+        block(RAW, SLICE_HDR, 0, slice_hdr),
+        block(RAW, CORE_T, 0, core.bytes()),
+        block(GZIP, EXT, ap_id, ap),
+        block(RAW, EXT, rnv_id, rn),
+        block(RAW, EXT, fp_id, fp),
+        block(RAW, EXT, bs_id, bs),
+        block(RAW, EXT, mq_id, mq),
+        block(RAW, EXT, sc_id, sc),
+    ]
+    if embedded:
+        blocks.append(block(RANS, EXT, RR1_EMB_ID, RR1_SEG.encode(),
+                            pre_compressed=rans_o0(RR1_SEG.encode())))
+
+    sam_hdr = ("@HD\tVN:1.6\tSO:unsorted\n"
+               "@SQ\tSN:chr1\tLN:1000\n").encode()
+    hdr_block = block(RAW, FILE_HDR, 0,
+                      struct.pack("<i", len(sam_hdr)) + sam_hdr)
+    with open(out_path, "wb") as f:
+        f.write(b"CRAM\x03\x00" + b"rr1-fixture".ljust(20, b"\x00"))
+        f.write(container([hdr_block], -1, 0, 0, 0, 0, 0))
+        f.write(container(blocks, 0, 101, 60, 3, 0, 30))
+        f.write(EOF)
+    print(f"wrote {out_path} ({os.path.getsize(out_path)} bytes)")
+
+
 if __name__ == "__main__":
     main()
+    gen_rr1(True, os.path.join(HERE, "interop_rr1_embed.cram"))
+    gen_rr1(False, os.path.join(HERE, "interop_rr1_ext.cram"))
