@@ -75,15 +75,45 @@ def main():
 
     n_bench = 65536                  # reference fastq cycled 8x
     import itertools
-    stream = itertools.islice(itertools.cycle(reads), n_bench)
-    t0 = time.time()
-    out = [recs for _, recs in
-           aln.align_stream(stream, batch_size=B, workers=4)]
-    dt = time.time() - t0
-    reads_per_s = n_bench / dt
-    mapped = sum(1 for rs in out if rs)
-    print(f"e2e: {n_bench} reads in {dt:.2f}s -> {reads_per_s:.0f} reads/s "
-          f"({mapped}/{n_bench} mapped)", file=sys.stderr)
+
+    def run_e2e():
+        """Production fastq->BAM path: fused device dispatch + native
+        C++ record emission (align_stream_bam).  Returns (reads/s,
+        mapped, bam bytes)."""
+        stream = itertools.islice(itertools.cycle(reads), n_bench)
+        t0 = time.time()
+        total = 0
+        mapped = 0
+        nbytes = 0
+        for _, payload, counts in aln.align_stream_bam(
+                stream, batch_size=B, workers=4):
+            total += counts.size
+            mapped += int((counts > 0).sum())
+            nbytes += len(payload)
+        dt = time.time() - t0
+        return n_bench / dt, mapped, nbytes
+
+    reads_per_s, mapped, nbytes = run_e2e()
+    print(f"e2e: {n_bench} reads in {n_bench/reads_per_s:.2f}s -> "
+          f"{reads_per_s:.0f} reads/s ({mapped}/{n_bench} mapped, "
+          f"{nbytes/1e6:.1f} MB BAM records emitted)", file=sys.stderr)
+
+    # host-load robustness (VERDICT r3 #2): rerun under deliberate
+    # full-core CPU contention; the native emission path must hold
+    # within ~20% because record assembly no longer rides Python.
+    import subprocess
+    spinners = [subprocess.Popen(
+        [sys.executable, "-c",
+         "while True:\n sum(i*i for i in range(10**6))"])
+        for _ in range(os.cpu_count() or 4)]
+    try:
+        loaded_rps, _, _ = run_e2e()
+    finally:
+        for p in spinners:
+            p.kill()
+    delta = (reads_per_s - loaded_rps) / reads_per_s * 100.0
+    print(f"e2e under full host load: {loaded_rps:.0f} reads/s "
+          f"(delta {delta:+.1f}% vs unloaded)", file=sys.stderr)
 
     # supplementary: raw SW extension cell rate on chip
     rng = np.random.default_rng(0)

@@ -30,7 +30,8 @@ import jax
 
 from ..core.cigar import Cigar, CigarField
 from ..core.record import BamRecord, FREVERSE, FSECONDARY
-from ..core.seq import encode_nt4, revcomp
+from ..core.seq import NT4_TABLE, encode_nt4, revcomp
+from .. import native as _native
 from ..core.unaligned import UnalignedSequence
 from ..index.fmindex import FMIndex
 from ..index.pack import both_strands
@@ -117,6 +118,37 @@ def _ops_to_cigars_batch(ops: np.ndarray, n_rows: int
     for r, o, ln in zip(run_rows.tolist(), run_ops.tolist(),
                         lens.tolist()):
         out[r].append((ops_str[o], ln))
+    return out
+
+
+def _ops_to_runs(ops: np.ndarray, n_rows: int
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run-length decode device traceback codes into flat run arrays.
+
+    Returns (run_rows, run_ops, run_lens) with run_rows sorted
+    ascending; runs are in forward 2L order (reverse of the walk).
+    run_ops use device codes 0=M 1=D 2=I."""
+    sub = ops[:n_rows, ::-1]
+    mask = sub < 3
+    rows, cols = np.nonzero(mask)
+    vals = sub[rows, cols]
+    if vals.size == 0:
+        return (np.empty(0, np.int32), np.empty(0, np.uint8),
+                np.empty(0, np.int32))
+    brk = np.ones(vals.size, dtype=bool)
+    brk[1:] = (rows[1:] != rows[:-1]) | (vals[1:] != vals[:-1])
+    starts = np.flatnonzero(brk)
+    lens = np.diff(np.append(starts, vals.size))
+    return (rows[starts].astype(np.int32),
+            vals[starts].astype(np.uint8), lens.astype(np.int32))
+
+
+def _filter_cols(cols: dict, mask: np.ndarray) -> dict:
+    """Keep only hits selected by ``mask`` (run arrays stay shared)."""
+    out = dict(cols)
+    for k, v in cols.items():
+        if k not in ("run_ops", "run_lens"):
+            out[k] = v[mask]
     return out
 
 
@@ -616,7 +648,56 @@ class BWAAligner:
 
     def _hits_from_full(self, enc, lens, res):
         """Unpack align_full outputs into per-read hit dicts (the
-        fused equivalent of _collect_regions + _regions_to_hits)."""
+        fused equivalent of _collect_regions + _regions_to_hits).
+
+        Thin adapter over the columnar unpacking so the object API and
+        the native emission path share ONE semantic source."""
+        cols = self._hits_cols_from_full(enc, lens, res)
+        if cols is None:
+            # extension-stage DP slot overflow: redo through the
+            # classic (uncompacted-capable) path
+            B = enc.shape[0]
+            regs = self._collect_regions(enc, lens)[:B]
+            return self._regions_to_hits(enc, lens, [""] * B,
+                                         [""] * B, regs)
+        return self._cols_to_hit_dicts(cols, enc.shape[0])
+
+    def _cols_to_hit_dicts(self, cols, B):
+        """Columnar hits -> per-read dict lists (object-API shape)."""
+        hits: list[list[dict]] = [[] for _ in range(B)]
+        ops_str = "MDI"
+        ro, rl = cols["run_ops"], cols["run_lens"]
+        ri = cols["read_idx"]
+        for i in range(ri.size):
+            n = int(cols["cig_n"][i])
+            if n == 0:
+                cig2l = [("M", int(cols["match_len"][i]))]
+            else:
+                o = int(cols["cig_off"][i])
+                cig2l = [(ops_str[ro[k]], int(rl[k]))
+                         for k in range(o, o + n)]
+            if cols["is_rev"][i]:
+                cig2l = list(reversed(cig2l))
+            c5, c3 = int(cols["clip5"][i]), int(cols["clip3"][i])
+            full = ([("N", c5)] if c5 else []) + cig2l \
+                + ([("N", c3)] if c3 else [])
+            hits[int(ri[i])].append(dict(
+                rid=int(cols["rid"][i]), pos=int(cols["pos"][i]),
+                is_rev=bool(cols["is_rev"][i]),
+                score=int(cols["score"][i]),
+                mapq=int(cols["mapq"][i]),
+                secondary=bool(cols["is_sec"][i]),
+                cigar=full, nm=int(cols["nm"][i]),
+                n_regs=int(cols["n_regs"][i]),
+                slot=int(cols["slot"][i]), sec=int(cols["sec"][i])))
+        return hits
+
+    def _hits_cols_from_full(self, enc, lens, res):
+        """Columnar hit extraction from align_full outputs: flat
+        per-hit numpy arrays (grouped by read, aligner append order)
+        ready for the native C++ record encoder (native/bamenc.cpp).
+        Returns None when the fused program's extension DP slots
+        overflowed (caller falls back to the classic path)."""
         opt = self.options
         regions = np.asarray(res[0])
         snm = np.asarray(res[1])
@@ -638,13 +719,11 @@ class BWAAligner:
             # telemetry: this fallback re-runs the whole batch through
             # the classic path (~2.5x cost) — it must stay RARE
             self.stats["fused_overflow_fallback"] += 1
-            regs = self._collect_regions(enc, lens)[:B]
-            return self._regions_to_hits(enc, lens, [""] * B,
-                                         [""] * B, regs)
-        # batch cigar decode for every used DP row
+            return None
+        # batch run-length decode for every used DP row
         n_dp = int(regions[0, C * NFIELD + 5]) if B else 0
-        cigs = _ops_to_cigars_batch(_unpack_ops(packed), n_dp) \
-            if n_dp else []
+        run_rows, run_ops, run_lens = _ops_to_runs(
+            _unpack_ops(packed), n_dp)
 
         # host fallback for wide/overflow regions (rare)
         fb_rows = []            # (b, j) needing a host global pass
@@ -657,11 +736,11 @@ class BWAAligner:
             fb_rows.append((b, j))
             if flags[b, j] & FLAG_WIDE:
                 self.stats["regions_widened"] += 1
-        fb_cigs: dict[tuple, tuple] = {}
+        keep_fb: list[tuple] = []
+        fb_nm = np.zeros(0, np.int32)
         if fb_rows:
             Lq = enc.shape[1]
             Lt_wide = Lq + 512
-            keep_fb = []
             for b, j in fb_rows:
                 if fields[b, j, 1] - fields[b, j, 0] <= Lq \
                         and fields[b, j, 3] - fields[b, j, 2] <= Lt_wide:
@@ -686,10 +765,14 @@ class BWAAligner:
                     o_ins=opt.o_ins, e_ins=opt.e_ins, match=opt.a,
                     mismatch=opt.b, band=Lt_wide + 8)
                 snm2 = np.asarray(r2[0])
-                c2 = _ops_to_cigars_batch(
+                fb_nm = snm2[:len(keep_fb), 1].astype(np.int32)
+                # append fallback runs after the main DP rows (row ids
+                # offset by n_dp keep run_rows globally sorted)
+                fb_rr, fb_ro, fb_rl = _ops_to_runs(
                     _unpack_ops(np.asarray(r2[1])), len(keep_fb))
-                for k, key in enumerate(keep_fb):
-                    fb_cigs[key] = (c2[k], int(snm2[k, 1]))
+                run_rows = np.concatenate([run_rows, fb_rr + n_dp])
+                run_ops = np.concatenate([run_ops, fb_ro])
+                run_lens = np.concatenate([run_lens, fb_rl])
 
         l_pac = self.index.l_pac
         # vectorized per-slot math (the B*C Python loop was the fused
@@ -732,44 +815,71 @@ class BWAAligner:
         mq = np.where(sub_a2 >= sc_a, 0, mq)
         mq = np.where(sec_mask, 0, mq)
 
-        hits_per_read: list[list[dict]] = [[] for _ in range(B)]
-        for b, j in zip(*np.nonzero(emit & has_cig & in_contig)):
-            fl = int(flags[b, j])
-            if fl & FLAG_PERFECT:
-                cig2l = [("M", int(qe_a[b, j] - qb_a[b, j]))]
-                nm = 0
-            else:
-                d = int(dprow_a[b, j])
-                cig2l = cigs[d]
-                nm = int(snm[d, 1])
-            if is_rev[b, j]:
-                cig_sam = list(reversed(cig2l))
-            else:
-                cig_sam = cig2l
-            c5, c3 = int(clip5[b, j]), int(clip3[b, j])
-            full = ([("N", c5)] if c5 else []) + cig_sam \
-                + ([("N", c3)] if c3 else [])
-            hits_per_read[b].append(dict(
-                rid=int(rid_a[b, j]), pos=int(pos_a[b, j]),
-                is_rev=bool(is_rev[b, j]), score=int(sc_a[b, j]),
-                mapq=int(mq[b, j]), secondary=bool(sec_mask[b, j]),
-                cigar=full, nm=nm, n_regs=int(n_regs[b]),
-                slot=int(j), sec=int(fields[b, j, 7])))
-        # fallback-path regions (wide/overflow) enter via fb_cigs
-        for (b, j), (cig2l, nm) in fb_cigs.items():
+        # ---- columnar hit assembly (no per-hit Python objects) -------
+        b_m, j_m = np.nonzero(emit & has_cig & in_contig)
+        perf_m = (flags[b_m, j_m] & FLAG_PERFECT) != 0
+        d_m = np.where(perf_m, 0, dprow_a[b_m, j_m]).astype(np.int64)
+        if run_rows.size:
+            off_m = np.searchsorted(run_rows, d_m).astype(np.int64)
+            cnt_m = (np.searchsorted(run_rows, d_m, side="right")
+                     - off_m).astype(np.int32)
+        else:
+            off_m = np.zeros(d_m.size, np.int64)
+            cnt_m = np.zeros(d_m.size, np.int32)
+        off_m = np.where(perf_m, 0, off_m)
+        cnt_m = np.where(perf_m, 0, cnt_m).astype(np.int32)
+        if n_dp:
+            nm_m = np.where(perf_m, 0,
+                            snm[np.clip(d_m, 0, n_dp - 1), 1]
+                            ).astype(np.int32)
+        else:
+            nm_m = np.zeros(d_m.size, np.int32)
+        mlen_m = np.where(perf_m, qe_a[b_m, j_m] - qb_a[b_m, j_m],
+                          0).astype(np.int32)
+        # fallback-path regions (wide/overflow) appended per read AFTER
+        # the main slots (same order the dict path historically used)
+        fb_b, fb_j, fb_off, fb_cnt, fb_nm_k = [], [], [], [], []
+        for k, (b, j) in enumerate(keep_fb):
             if not in_contig[b, j]:
                 continue
-            cig_sam = list(reversed(cig2l)) if is_rev[b, j] else cig2l
-            c5, c3 = int(clip5[b, j]), int(clip3[b, j])
-            full = ([("N", c5)] if c5 else []) + cig_sam \
-                + ([("N", c3)] if c3 else [])
-            hits_per_read[b].append(dict(
-                rid=int(rid_a[b, j]), pos=int(pos_a[b, j]),
-                is_rev=bool(is_rev[b, j]), score=int(sc_a[b, j]),
-                mapq=int(mq[b, j]), secondary=bool(sec_mask[b, j]),
-                cigar=full, nm=nm, n_regs=int(n_regs[b]),
-                slot=int(j), sec=int(fields[b, j, 7])))
-        return hits_per_read
+            d = n_dp + k
+            o = int(np.searchsorted(run_rows, d))
+            e = int(np.searchsorted(run_rows, d, side="right"))
+            fb_b.append(b); fb_j.append(j)
+            fb_off.append(o); fb_cnt.append(e - o)
+            fb_nm_k.append(int(fb_nm[k]))
+        ab = np.concatenate([b_m, np.array(fb_b, np.int64)]
+                            ).astype(np.int64)
+        aj = np.concatenate([j_m, np.array(fb_j, np.int64)]
+                            ).astype(np.int64)
+        off_all = np.concatenate([off_m,
+                                  np.array(fb_off, np.int64)])
+        cnt_all = np.concatenate([cnt_m,
+                                  np.array(fb_cnt, np.int32)])
+        nm_all = np.concatenate([nm_m, np.array(fb_nm_k, np.int32)])
+        mlen_all = np.concatenate([mlen_m,
+                                   np.zeros(len(fb_b), np.int32)])
+        order = np.argsort(ab, kind="stable")
+        ab, aj = ab[order], aj[order]
+        return dict(
+            read_idx=ab.astype(np.int32),
+            rid=rid_a[ab, aj].astype(np.int32),
+            pos=pos_a[ab, aj].astype(np.int32),
+            is_rev=is_rev[ab, aj].astype(np.uint8),
+            is_sec=sec_mask[ab, aj].astype(np.uint8),
+            score=sc_a[ab, aj].astype(np.int32),
+            mapq=mq[ab, aj].astype(np.int32),
+            nm=np.ascontiguousarray(nm_all[order], np.int32),
+            n_regs=n_regs[ab].astype(np.int32),
+            slot=aj.astype(np.int32),
+            sec=fields[ab, aj, 7].astype(np.int32),
+            clip5=clip5[ab, aj].astype(np.int32),
+            clip3=clip3[ab, aj].astype(np.int32),
+            cig_off=np.ascontiguousarray(off_all[order], np.int64),
+            cig_n=np.ascontiguousarray(cnt_all[order], np.int32),
+            match_len=np.ascontiguousarray(mlen_all[order], np.int32),
+            run_ops=np.ascontiguousarray(run_ops, np.uint8),
+            run_lens=np.ascontiguousarray(run_lens, np.int32))
 
     # ------------------------------------------------------------------
     # public API
@@ -778,12 +888,15 @@ class BWAAligner:
     def _encode_batch(self, seqs: list[str]):
         L = _round_up(max(len(s) for s in seqs), 32)
         Bp = _bucket(len(seqs), mn=8)   # static read-batch bucket
-        enc = np.full((Bp, L), 4, np.uint8)
         lens = np.zeros(Bp, np.int64)
-        for i, s in enumerate(seqs):
-            e = encode_nt4(s)
-            enc[i, :len(e)] = e
-            lens[i] = len(e)
+        lens[:len(seqs)] = [len(s) for s in seqs]
+        enc = np.full((Bp, L), 4, np.uint8)
+        # one table lookup over the whole batch (row-major mask order
+        # matches the concatenation order)
+        blob = "".join(seqs).encode()
+        codes = NT4_TABLE[np.frombuffer(blob, np.uint8)]
+        mask = np.arange(L, dtype=np.int64)[None, :] < lens[:, None]
+        enc[mask] = codes
         return enc, lens
 
     def align_stream(self, read_iter, batch_size: int = 4096,
@@ -829,6 +942,154 @@ class BWAAligner:
                     yield from inflight.pop(0).result()
             for fut in inflight:
                 yield from fut.result()
+
+    # ------------------------------------------------------------------
+    # native record emission (write-side fast path; native/bamenc.cpp)
+    # ------------------------------------------------------------------
+
+    def _ref_name_arrays(self):
+        """Contig-name blob + offsets for the native XA/SAM encoder."""
+        if getattr(self, "_ref_blob_cache", None) is None:
+            enc_names = [n.encode() for n in self._contig_names()]
+            off = np.zeros(len(enc_names) + 1, np.int64)
+            np.cumsum(np.array([len(b) for b in enc_names], np.int64),
+                      out=off[1:])
+            blob = np.frombuffer(b"".join(enc_names), np.uint8)
+            self._ref_blob_cache = (blob, off)
+        return self._ref_blob_cache
+
+    def _payload_batch(self, chunk, enc, lens, s1, hardclip,
+                       keep_sec_frac, max_secondary, sam=False):
+        """Finisher for the native-emission path: fused outputs ->
+        serialized BAM records (or SAM text).  Falls back to the
+        Python object path (byte-identically — pinned by
+        tests/test_native_emit.py) when the native library is missing,
+        the aligner is sharded, or the fused program overflowed."""
+        B = len(chunk)
+        cols = None
+        if self.mesh is None and type(self) is BWAAligner \
+                and _native.get_lib() is not None:
+            cols = self._hits_cols_from_full(enc, lens, s1)
+        if cols is None:
+            hdr = None
+            if sam:
+                hdr = self.index.header_from_index()
+            payload = bytearray()
+            counts = np.zeros(B, np.int32)
+            from ..io.bam import encode_record
+            for b, (_, recs) in enumerate(self._finish_batch(
+                    chunk, enc, lens, s1, hardclip, keep_sec_frac,
+                    max_secondary)):
+                counts[b] = len(recs)
+                for r in recs:
+                    if sam:
+                        payload += r.to_sam(hdr).encode() + b"\n"
+                    else:
+                        payload += encode_record(r)
+            return bytes(payload), counts
+        mask = cols["read_idx"] < B
+        if not mask.all():
+            cols = _filter_cols(cols, mask)
+        opt = self.options
+        ksf = keep_sec_frac
+        if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
+            cols = _filter_cols(cols, cols["is_sec"] == 0)
+            ksf = 0.0
+        qn = [r.name.encode() for r in chunk]
+        sq = [r.seq.encode() for r in chunk]
+        qname_off = np.zeros(B + 1, np.int64)
+        np.cumsum(np.array([len(x) for x in qn], np.int64),
+                  out=qname_off[1:])
+        seq_off = np.zeros(B + 1, np.int64)
+        np.cumsum(np.array([len(x) for x in sq], np.int64),
+                  out=seq_off[1:])
+        ref_blob, ref_off = self._ref_name_arrays()
+        return _native.bam_encode_hits(
+            cols, np.frombuffer(b"".join(qn), np.uint8), qname_off,
+            np.frombuffer(b"".join(sq), np.uint8), seq_off,
+            ref_blob, ref_off, hardclip, ksf, max_secondary,
+            opt.XA_drop_ratio, opt.max_XA_hits,
+            mode=1 if sam else 0)
+
+    def align_batch_bam(self, seqs: list[str], names: list[str],
+                        hardclip: bool = False,
+                        keep_sec_frac: float = 0.9,
+                        max_secondary: int = 10, sam: bool = False):
+        """Batch alignment with native record emission.
+
+        Returns (payload, counts): payload is the concatenation of
+        serialized BAM records (or SAM text lines with ``sam=True``)
+        and counts[i] is the number of records emitted for read i.
+        Byte-identical to serializing :meth:`align_batch`'s records;
+        the record-assembly stage (XA gathering, MAPQ sort,
+        keepSecFrac/maxSecondary filters, clip rewrite, revcomp 4-bit
+        packing, tag emission — BWAAligner.cpp:133-241 semantics) runs
+        in C++ (native/bamenc.cpp)."""
+        import collections
+        _Read = collections.namedtuple("_Read", "name seq")
+        B = len(seqs)
+        if B == 0:
+            return b"", np.zeros(0, np.int32)
+        chunk = [_Read(n, s) for n, s in zip(names, seqs)]
+        enc, lens = self._encode_batch(seqs)
+        if self.mesh is None and type(self) is BWAAligner:
+            s1 = self._dispatch_full(enc, lens)
+        else:
+            s1 = self._dispatch_stage1(
+                jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
+        return self._payload_batch(chunk, enc, lens, s1, hardclip,
+                                   keep_sec_frac, max_secondary, sam)
+
+    def align_stream_bam(self, read_iter, batch_size: int = 4096,
+                         hardclip: bool = False,
+                         keep_sec_frac: float = 0.9,
+                         max_secondary: int = 10, workers: int = 2,
+                         sam: bool = False):
+        """Pipelined streaming alignment with native record emission.
+
+        Yields (chunk, payload, counts) per batch — chunk is the list
+        of input reads, payload the serialized BAM records (or SAM
+        text with ``sam=True``), counts the per-read record counts.
+        The C encode call releases the GIL, so one batch's record
+        assembly overlaps another's device fetch-wait — this is the
+        production fastq->BAM path (the host-bound Python record loop
+        was the r3 9.3k-17.2k throughput swing; VERDICT r3 #2)."""
+        import concurrent.futures as _fut
+
+        def batches():
+            buf = []
+            for r in read_iter:
+                buf.append(r)
+                if len(buf) >= batch_size:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        def finish(args):
+            chunk, enc, lens, s1 = args
+            payload, counts = self._payload_batch(
+                chunk, enc, lens, s1, hardclip, keep_sec_frac,
+                max_secondary, sam)
+            return chunk, payload, counts
+
+        with _fut.ThreadPoolExecutor(max(workers, 1)) as pool:
+            inflight: list = []
+            fused = self.mesh is None and type(self) is BWAAligner
+            for chunk in batches():
+                enc, lens = self._encode_batch([r.seq for r in chunk])
+                if fused:
+                    s1 = self._dispatch_full(enc, lens)
+                else:
+                    s1 = self._dispatch_stage1(
+                        jnp.asarray(enc),
+                        jnp.asarray(lens.astype(np.int32)))
+                inflight.append(pool.submit(finish,
+                                            (chunk, enc, lens, s1)))
+                while len(inflight) >= max(workers, 1) + 1:
+                    yield inflight.pop(0).result()
+            for fut in inflight:
+                yield fut.result()
 
     def _finish_batch(self, chunk, enc, lens, s1, hardclip,
                       keep_sec_frac, max_secondary):

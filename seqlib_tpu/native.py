@@ -16,7 +16,7 @@ import numpy as np
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC_DIR = os.path.join(_REPO, "native")
 _BUILD_DIR = os.path.join(_SRC_DIR, "build")
-_SOURCES = ["sais.cpp", "bamio.cpp"]
+_SOURCES = ["sais.cpp", "bamio.cpp", "bamenc.cpp"]
 
 _lib = None
 _lib_tried = False
@@ -76,6 +76,19 @@ def get_lib():
             lib.bam_ref_spans.restype = None
             lib.bam_ref_spans.argtypes = [u8p, ctypes.c_int64, i64p,
                                           i32p, i32p]
+            lib.bam_encode_hits.restype = ctypes.c_int64
+            lib.bam_encode_hits.argtypes = (
+                [ctypes.c_int64]                 # n_hits
+                + [i32p] * 2 + [u8p] * 0         # read_idx, rid
+                + [i32p]                         # pos
+                + [u8p] * 2                      # is_rev, is_sec
+                + [i32p] * 8                     # score..clip3
+                + [i64p, i32p, u8p, i32p, i32p]  # cigar runs
+                + [ctypes.c_int32, u8p, i64p, u8p, i64p]  # reads
+                + [ctypes.c_int32, u8p, i64p]    # ref names
+                + [ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+                   ctypes.c_double, ctypes.c_int32, ctypes.c_int32]
+                + [u8p, ctypes.c_int64, i32p])   # out
             _lib = lib
     return _lib
 
@@ -174,6 +187,72 @@ def bam_unpack_seqs(buf: np.ndarray, seq_off: np.ndarray,
         _ptr(dst, ctypes.c_uint8),
         _ptr(dst_off, ctypes.c_int64))
     return dst, dst_off
+
+
+def bam_encode_hits(cols: dict, qname_blob: np.ndarray,
+                    qname_off: np.ndarray, seq_blob: np.ndarray,
+                    seq_off: np.ndarray, ref_blob: np.ndarray,
+                    ref_off: np.ndarray, hardclip: bool,
+                    keep_sec_frac: float, max_secondary: int,
+                    xa_drop_ratio: float, max_xa_hits: int,
+                    mode: int = 0):
+    """Native record emission (native/bamenc.cpp): columnar hits ->
+    serialized BAM records (mode 0) or SAM text (mode 1).
+
+    Returns (payload bytes, per-read counts int32) or None when the
+    native library is unavailable.  The C call releases the GIL, so
+    stream pipelining overlaps encoding with device fetches."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_hits = int(cols["read_idx"].size)
+    n_reads = int(qname_off.size - 1)
+    n_refs = int(ref_off.size - 1)
+    counts = np.zeros(max(n_reads, 1), np.int32)
+    # generous first-shot capacity; grown on -1
+    L = int(seq_off[-1] - (seq_off[0] if seq_off.size else 0))
+    cap = 1024 + n_hits * 160 + 2 * L \
+        + int(qname_off[-1]) + 8 * int(cols["run_lens"].size)
+    u8, i32, i64 = ctypes.c_uint8, ctypes.c_int32, ctypes.c_int64
+
+    def p8(a):
+        return _ptr(np.ascontiguousarray(a, np.uint8), u8)
+
+    def p32(a):
+        return _ptr(np.ascontiguousarray(a, np.int32), i32)
+
+    def p64(a):
+        return _ptr(np.ascontiguousarray(a, np.int64), i64)
+
+    for _ in range(8):
+        out = np.empty(cap, np.uint8)
+        n = lib.bam_encode_hits(
+            ctypes.c_int64(n_hits),
+            p32(cols["read_idx"]), p32(cols["rid"]), p32(cols["pos"]),
+            p8(cols["is_rev"]), p8(cols["is_sec"]),
+            p32(cols["score"]), p32(cols["mapq"]), p32(cols["nm"]),
+            p32(cols["n_regs"]), p32(cols["slot"]), p32(cols["sec"]),
+            p32(cols["clip5"]), p32(cols["clip3"]),
+            p64(cols["cig_off"]), p32(cols["cig_n"]),
+            p8(cols["run_ops"]), p32(cols["run_lens"]),
+            p32(cols["match_len"]),
+            ctypes.c_int32(n_reads), p8(qname_blob), p64(qname_off),
+            p8(seq_blob), p64(seq_off),
+            ctypes.c_int32(n_refs), p8(ref_blob), p64(ref_off),
+            ctypes.c_int32(1 if hardclip else 0),
+            ctypes.c_double(keep_sec_frac),
+            ctypes.c_int32(max_secondary),
+            ctypes.c_double(xa_drop_ratio),
+            ctypes.c_int32(max_xa_hits), ctypes.c_int32(mode),
+            _ptr(out, u8), ctypes.c_int64(cap), _ptr(counts, i32))
+        if n == -1:
+            cap *= 4
+            continue
+        if n < 0:
+            raise RuntimeError(
+                f"bam_encode_hits: malformed columnar input (rc={n})")
+        return out[:n].tobytes(), counts[:n_reads]
+    raise RuntimeError("bam_encode_hits: output buffer kept overflowing")
 
 
 # ---------------------------------------------------------------------------
