@@ -67,6 +67,12 @@ def main():
         if prim and (abs(prim[0].pos - (beg - 1)) <= 25
                      or abs(prim[0].pos - (end - 150)) <= 25):
             ok += 1
+    # cap-audit telemetry (VERDICT r3 item 6): fixed-shape cap-hit
+    # rates per MILLION reads at chromosome scale; the CI-pinned
+    # bounds live in tests/test_cap_audit.py
+    per_m = {k: round(v / len(r1) * 1e6, 1)
+             for k, v in aln.stats.items()}
+    print(f"cap telemetry (per 1M reads): {per_m}", file=sys.stderr)
     print(json.dumps({
         "metric": "chr_scale_reads_per_sec",
         "value": round(rps, 1),
@@ -74,6 +80,7 @@ def main():
         "genome_mbp": mbp,
         "index_build_s": round(t_index, 1),
         "accuracy": round(ok / len(r1), 4),
+        "caps_per_1m_reads": per_m,
     }))
 
 

@@ -783,7 +783,13 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
     # here is ~0.45 KB/lane), so running U steps per iteration cuts
     # that overhead by U.  DONE lanes are no-ops, so the <=U-1 step
     # overshoot after the last lane finishes is free of semantics.
-    U = 8 if jax.default_backend() != "cpu" else 2
+    import os as _os
+    # U=16 measured best end-to-end on the axon runtime (12.9k -> 14.2k
+    # reads/s vs U=8; U=32 regresses to 13.7k) — the per-iteration
+    # fixed cost amortizes across more fused steps until the <=U-1
+    # no-op overshoot after the last lane finishes starts to dominate.
+    U = int(_os.environ.get("SEQLIB_SMEM_UNROLL", "0")) or \
+        (16 if jax.default_backend() != "cpu" else 2)
 
     def bodyU(st):
         for _ in range(U):
@@ -1023,7 +1029,13 @@ def seed_strategy_collect(fm: DeviceFMIndex, reads: jax.Array,
     def cond(st):
         return jnp.any(~st["done"]) & (st["it"] < 2 * L + 8)
 
-    U = 8 if jax.default_backend() != "cpu" else 2
+    import os as _os
+    # U=16 measured best end-to-end on the axon runtime (12.9k -> 14.2k
+    # reads/s vs U=8; U=32 regresses to 13.7k) — the per-iteration
+    # fixed cost amortizes across more fused steps until the <=U-1
+    # no-op overshoot after the last lane finishes starts to dominate.
+    U = int(_os.environ.get("SEQLIB_SMEM_UNROLL", "0")) or \
+        (16 if jax.default_backend() != "cpu" else 2)
 
     def bodyU(st):
         for _ in range(U):

@@ -250,10 +250,16 @@ def _pack_reads(reads, L, Lp, R):
 
 def smem_machine_pallas(fm, reads, lens, x0, min_intv, active,
                         max_seeds: int, min_seed_len: int, C: int,
-                        max_rounds: int, step_cap: int):
+                        max_rounds: int, step_cap: int,
+                        interpret: bool = False):
     """Drop-in replacement for ops.fm._smem_machine on TPU backends.
     Same contract: returns dict(qbeg, qend, intv_l, intv_sz
-    [B, max_seeds], n_seeds, n_dropped [B])."""
+    [B, max_seeds], n_seeds, n_dropped [B]).
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (no Mosaic), so the bit-identity cross-check against the XLA
+    machine also runs on the CPU mesh (tests/test_fm_pallas.py — this
+    was the suite's only hardware-gated skip, VERDICT r3 item 9)."""
     B, L = reads.shape
     assert C & (C - 1) == 0, "stack capacity must be a power of two"
     R = -(-B // 128)
@@ -318,6 +324,7 @@ def smem_machine_pallas(fm, reads, lens, x0, min_intv, active,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        interpret=interpret,
     )
 
     def cond(carry):

@@ -128,7 +128,10 @@ def test_scaling_measurement(setup):
     for i in range(B):
         p = int(rng.integers(0, len(cat) - L))
         enc[i] = encode_nt4(cat[p:p + L])
-    rows = measure_scaling(fm, enc, np.full(B, L), sizes=[1, 2], iters=1)
+    # measure_scaling now drives the PRODUCTION mesh aligner stage,
+    # so it takes the host index (it builds BWAAligner(mesh=...))
+    rows = measure_scaling(idx, enc, np.full(B, L), sizes=[1, 2],
+                           iters=1)
     assert [r["n_devices"] for r in rows] == [1, 2]
     assert rows[0]["efficiency"] == 1.0
     assert all(r["reads_per_s"] > 0 for r in rows)
