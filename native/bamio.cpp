@@ -7,6 +7,7 @@
 //
 // Build: linked into libseqlib_native.so with -lz (see seqlib_tpu/native.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -164,6 +165,98 @@ extern "C" int64_t bgzf_inflate_all_mt(const uint8_t* in, int64_t in_len,
   for (int32_t t = 0; t < n_threads; ++t)
     if (!ok[t]) return -1;
   return total;
+}
+
+namespace {
+
+// Deflate one BGZF member (raw deflate + BGZF extra header + CRC32
+// footer) into out; returns member size or -1.  Mirrors the Python
+// BgzfWriter block layout (io/bgzf.py _write_block) including the
+// level-0 fallback for incompressible blocks.
+int64_t deflate_member(const uint8_t* data, int64_t n, int level,
+                       uint8_t* out, int64_t cap) {
+  for (int attempt = 0; attempt < 2; ++attempt) {
+    int lvl = attempt == 0 ? level : 0;
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, lvl, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+      return -1;
+    zs.next_in = const_cast<uint8_t*>(data);
+    zs.avail_in = static_cast<uInt>(n);
+    zs.next_out = out + 18;
+    zs.avail_out = static_cast<uInt>(cap - 26);
+    int rc = deflate(&zs, Z_FINISH);
+    int64_t clen = static_cast<int64_t>(zs.total_out);
+    deflateEnd(&zs);
+    if (rc != Z_STREAM_END) {
+      if (attempt == 0) continue;  // try stored
+      return -1;
+    }
+    int64_t bsize = clen + 26;
+    if (bsize > 65536) {
+      if (attempt == 0) continue;
+      return -1;
+    }
+    // gzip header with BGZF BC extra field
+    uint8_t* h = out;
+    h[0] = 0x1F; h[1] = 0x8B; h[2] = 8; h[3] = 4;
+    std::memset(h + 4, 0, 4);
+    h[8] = 0; h[9] = 0xFF;
+    uint16_t xlen = 6;
+    std::memcpy(h + 10, &xlen, 2);
+    h[12] = 66; h[13] = 67;
+    uint16_t slen = 2;
+    std::memcpy(h + 14, &slen, 2);
+    uint16_t bs16 = static_cast<uint16_t>(bsize - 1);
+    std::memcpy(h + 16, &bs16, 2);
+    uint32_t crc = crc32(0L, data, static_cast<uInt>(n));
+    std::memcpy(out + 18 + clen, &crc, 4);
+    uint32_t isize = static_cast<uint32_t>(n);
+    std::memcpy(out + 18 + clen + 4, &isize, 4);
+    return bsize;
+  }
+  return -1;
+}
+
+}  // namespace
+
+// Multi-threaded BGZF deflate: chunks `in` into 65280-byte blocks
+// (the Python writer's chunking), compresses them in parallel, and
+// concatenates the members into `out` (no EOF member — the caller's
+// close() appends it).  Returns bytes written or -1.
+extern "C" int64_t bgzf_deflate_all_mt(const uint8_t* in, int64_t in_len,
+                                       int32_t level, int32_t n_threads,
+                                       uint8_t* out, int64_t out_cap) {
+  const int64_t CHUNK = 65280;
+  int64_t n_blocks = (in_len + CHUNK - 1) / CHUNK;
+  if (n_blocks == 0) return 0;
+  if (out_cap < n_blocks * 65536) return -1;  // caller sizes worst case
+  std::vector<int64_t> sizes(n_blocks, -1);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n_blocks) n_threads = static_cast<int32_t>(n_blocks);
+  std::vector<std::thread> ts;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    ts.emplace_back([&, t]() {
+      for (int64_t b = t; b < n_blocks; b += n_threads) {
+        int64_t off = b * CHUNK;
+        int64_t n = std::min(CHUNK, in_len - off);
+        sizes[b] = deflate_member(in + off, n, level,
+                                  out + b * 65536, 65536);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  // compact members in place (left-to-right, no overlap hazards since
+  // every member is <= its 65536 slot and dst <= src)
+  int64_t op = 0;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    if (sizes[b] < 0) return -1;
+    if (op != b * 65536)
+      std::memmove(out + op, out + b * 65536, sizes[b]);
+    op += sizes[b];
+  }
+  return op;
 }
 
 // Total decompressed size of a BGZF stream (sum of member ISIZEs).

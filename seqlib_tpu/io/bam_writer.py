@@ -118,6 +118,23 @@ class BamWriter:
                                    rec.mapped_flag())
         return True
 
+    def write_records_bytes(self, payload: bytes) -> bool:
+        """Write pre-serialized BAM records (the aligner's native
+        emission payload, align_batch_bam/align_stream_bam) straight
+        through the BGZF layer with native multi-threaded deflate —
+        the production fastq->BAM fast path end to end.  BAM only; not
+        valid with on-the-fly indexing (records bypass the per-record
+        virtual-offset bookkeeping)."""
+        if self._fmt != BAM:
+            raise ValueError("write_records_bytes requires BAM output")
+        if self._index is not None:
+            raise ValueError("write_records_bytes is incompatible "
+                             "with enable_indexing")
+        if not self._header_written:
+            self.write_header()
+        self._bgzf.write_bulk(payload)
+        return True
+
     def enable_indexing(self) -> None:
         """Collect BAI data on the fly; Close() then writes <path>.bai.
 

@@ -169,6 +169,24 @@ class BgzfWriter:
             del self._pending[:MAX_BLOCK - 256]
             self._write_block(chunk)
 
+    def write_bulk(self, data: bytes) -> None:
+        """Bulk write through the native multi-threaded deflater
+        (native/bamio.cpp bgzf_deflate_all_mt) — identical member
+        layout to the Python path, parallel across 64 KiB blocks.
+
+        Flushes pending bytes into their own block first so virtual
+        offsets of previously written records stay valid."""
+        if len(data) < 4 * (MAX_BLOCK - 256):
+            self.write(data)
+            return
+        from .. import native as _native
+        self.flush_block()
+        comp = _native.bgzf_deflate_all(bytes(data), self._level)
+        if comp is None:                  # toolchain absent: fallback
+            self.write(data)
+            return
+        self._fh.write(comp)
+
     def tell_virtual(self) -> int:
         return (self._fh.tell() << 16) | len(self._pending)
 

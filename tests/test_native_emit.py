@@ -139,6 +139,41 @@ def test_decoded_records_roundtrip(tiny_aln, wgsim_reads):
     assert n == counts.sum()
 
 
+def test_payload_through_bamwriter_roundtrip(tiny_aln, wgsim_reads,
+                                             tmp_path):
+    """Full production chain: align -> native payload ->
+    BamWriter.write_records_bytes (native MT BGZF deflate) -> BamReader
+    gives records identical to the object path."""
+    from seqlib_tpu.io.bam_reader import BamReader
+    from seqlib_tpu.io.bam_writer import BamWriter, BAM
+
+    reads = wgsim_reads[:400]
+    payload, counts = tiny_aln.align_batch_bam(
+        [s for _, s in reads], [n for n, _ in reads])
+    path = str(tmp_path / "native.bam")
+    w = BamWriter(BAM)
+    assert w.open(path)
+    w.set_header(tiny_aln.index.header_from_index())
+    w.write_records_bytes(payload)
+    w.close()
+    rd = BamReader()
+    assert rd.open(path)
+    got = []
+    while True:
+        r = rd.next()
+        if r is None:
+            break
+        got.append(r)
+    want = [r for rl in tiny_aln.align_batch(
+        [s for _, s in reads], [n for n, _ in reads]) for r in rl]
+    assert len(got) == len(want) == counts.sum()
+    for a, b in zip(got, want):
+        assert (a.qname, a.tid, a.pos, a.mapq, a.flag, str(a.cigar),
+                a.seq, a.tags) == \
+            (b.qname, b.tid, b.pos, b.mapq, b.flag, str(b.cigar),
+             b.seq, b.tags)
+
+
 def test_stream_bam_matches_batch(tiny_aln, wgsim_reads):
     class _R:
         def __init__(self, n, s):
