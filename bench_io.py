@@ -96,5 +96,53 @@ def main():
     }))
 
 
+    # part C: write side.  (a) the per-record Python path
+    # (encode_record + incremental BGZF), (b) the native fast path
+    # (pre-serialized payload through MT BGZF deflate,
+    # BamWriter.write_records_bytes) — the r3 review flagged the I/O
+    # story as half-native; this records both numbers.
+    from seqlib_tpu.io.bam import encode_record
+    hdr = BamHeader([("c1", 1 << 30)])
+    rec = BamRecord()
+    rec.qname = "read0000000"
+    rec.tid = 0
+    rec.mapq = 60
+    rec.flag = 99
+    rec.seq = "ACGT" * 37 + "AC"
+    rec.qual = np.full(150, 30, np.uint8)
+    rec.cigar = Cigar("150M")
+    rec.mtid = 0
+    rec.isize = 300
+    rec.add_int_tag("NM", 1)
+    n_w = min(n, 250_000)
+    t0 = time.time()
+    w = BamWriter()
+    w.open("/tmp/bench_io_wr_py.bam")
+    w.set_header(hdr)
+    for i in range(n_w):
+        rec.pos = i * 5
+        w.write_record(rec)
+    w.close()
+    dt_py = time.time() - t0
+    print(json.dumps({
+        "metric": "bam_write_records_per_sec_python",
+        "value": round(n_w / dt_py, 1),
+        "unit": "rec/s", "records": n_w,
+    }))
+    payload = encode_record(rec) * n_w
+    t0 = time.time()
+    w = BamWriter()
+    w.open("/tmp/bench_io_wr_native.bam")
+    w.set_header(hdr)
+    w.write_records_bytes(payload)
+    w.close()
+    dt_nat = time.time() - t0
+    print(json.dumps({
+        "metric": "bam_write_records_per_sec_native",
+        "value": round(n_w / dt_nat, 1),
+        "unit": "rec/s", "records": n_w,
+    }))
+
+
 if __name__ == "__main__":
     main()
