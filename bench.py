@@ -111,6 +111,8 @@ def main():
     finally:
         for p in spinners:
             p.kill()
+        for p in spinners:
+            p.wait()
     delta = (reads_per_s - loaded_rps) / reads_per_s * 100.0
     print(f"e2e under full host load: {loaded_rps:.0f} reads/s "
           f"(delta {delta:+.1f}% vs unloaded)", file=sys.stderr)

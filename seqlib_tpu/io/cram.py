@@ -401,13 +401,14 @@ class CompressionHeader:
 
 
 def write_slice_header(ref_id: int, start: int, span: int, n_rec: int,
-                       counter: int, content_ids: list[int]) -> bytes:
+                       counter: int, content_ids: list[int],
+                       md5: bytes = b"\x00" * 16) -> bytes:
     body = (write_itf8(ref_id & 0xFFFFFFFF) + write_itf8(start)
             + write_itf8(span) + write_itf8(n_rec)
             + write_ltf8(counter) + write_itf8(len(content_ids))
             + b"".join(write_itf8(c) for c in content_ids)
             + write_itf8(0xFFFFFFFF)     # embedded ref block id = -1
-            + b"\x00" * 16)              # MD5 (unchecked)
+            + md5)                       # reference-span MD5
     return body
 
 
@@ -745,6 +746,17 @@ def _decode_records(ch: CompressionHeader, slc: dict,
             r.tags[t] = (ty, _bam_tag_parse(ty, raw))
         seq = bytearray(b"N" * rl)
         cig: list[tuple[str, int]] = []
+        # Qualities carried per-feature (B/Q/q codes) rather than as a
+        # full QS array — kept unless a full array follows (ADVICE r4:
+        # decode used to read and DROP these bytes).
+        fqual: np.ndarray | None = None
+
+        def set_fq(pos0, val):
+            nonlocal fqual
+            if fqual is None:
+                fqual = np.full(rl, 0xFF, np.uint8)
+            fqual[pos0] = val
+
         if not (bf & 0x4):                # mapped
             fn = r_int("FN")
             qpos = 1
@@ -795,7 +807,7 @@ def _decode_records(ch: CompressionHeader, slc: dict,
                     cpos = qpos + 1
                 elif fc == "B":
                     ba = S["BA"].read_byte(core, streams)
-                    S["QS"].read_byte(core, streams)
+                    set_fq(qpos - 1, S["QS"].read_byte(core, streams))
                     add("M", qpos - cpos + 1)
                     fill(qpos - cpos)
                     seq[qpos - 1] = ba
@@ -849,9 +861,11 @@ def _decode_records(ch: CompressionHeader, slc: dict,
                 elif fc == "Q":
                     # single quality substitution: base stays an
                     # implicit match; no cigar/ref effect
-                    S["QS"].read_byte(core, streams)
+                    set_fq(qpos - 1, S["QS"].read_byte(core, streams))
                 elif fc == "q":
-                    r_bytes_arr("QQ")
+                    qq = np.frombuffer(r_bytes_arr("QQ"), np.uint8)
+                    if len(qq):
+                        set_fq(slice(qpos - 1, qpos - 1 + len(qq)), qq)
                 else:
                     raise ValueError(f"CRAM: feature code {fc!r}")
             add("M", rl - cpos + 1)
@@ -863,6 +877,8 @@ def _decode_records(ch: CompressionHeader, slc: dict,
         if cf & 1:
             q = streams[S["QS"].content_id].read_bytes(rl)                 if S.get("QS") and S["QS"].id == 1 else b""
             r.qual = np.frombuffer(q, np.uint8).copy() if q else None
+        if r.qual is None and fqual is not None:
+            r.qual = fqual
         r.flag = bf
         r.tid = tid
         r.pos = ap - 1                    # AP is 1-based (spec 10.3)
@@ -932,8 +948,28 @@ class CramWriter:
                            build_compression_header(
                                tag_lines, rr=self._ref_get is not None))
         cids = sorted(ext)
+        # Per-slice ref_id/start/span (ADVICE r4): a slice whose
+        # records all map to one reference is declared single-ref —
+        # htslib-family readers key RR=1 decoding off these fields.
+        # Mixed/unmapped containers keep the multi-ref marker (-2).
+        mapped = [r for r in recs if r.tid >= 0 and not (r.flag & 0x4)]
+        tids = {r.tid for r in recs}
+        if len(tids) == 1 and len(mapped) == len(recs):
+            s_ref = recs[0].tid
+            s_start = min(r.pos for r in mapped) + 1        # 1-based
+            s_span = max(r.position_end() for r in mapped) - s_start + 1
+        elif not mapped and all(r.tid < 0 for r in recs):
+            s_ref, s_start, s_span = -1, 0, 0
+        else:
+            s_ref, s_start, s_span = -2, 0, 0
+        md5 = b"\x00" * 16
+        if s_ref >= 0 and self._ref_get is not None and s_span > 0:
+            import hashlib
+            md5 = hashlib.md5(
+                self._ref_get(s_ref, s_start - 1, s_span)).digest()
         sl = write_block(GZIP, SLICE_HEADER, 0, write_slice_header(
-            -2, 0, 0, len(recs), self._counter, cids))
+            s_ref, s_start, s_span, len(recs), self._counter, cids,
+            md5=md5))
         blocks = [comp, sl, write_block(RAW, CORE, 0, b"")]
         for cid in cids:
             # rANS for the bulky base/qual series, gzip elsewhere
@@ -941,8 +977,8 @@ class CramWriter:
                                      _DS_IDS["BA"]) else GZIP
             blocks.append(write_block(method, EXTERNAL, cid, ext[cid]))
         self._fh.write(write_container(
-            blocks, ref_id=-2, n_records=len(recs),
-            counter=self._counter,
+            blocks, ref_id=s_ref, start=s_start, span=s_span,
+            n_records=len(recs), counter=self._counter,
             bases=sum(len(r.seq or "") for r in recs)))
         self._counter += len(recs)
         self._pending = []

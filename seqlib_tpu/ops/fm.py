@@ -88,6 +88,27 @@ class DeviceFMIndex:
 
 
 
+def _unroll() -> int:
+    """Machine steps fused per while iteration.
+
+    U=16 measured best end-to-end on the axon runtime (12.9k -> 14.2k
+    reads/s vs U=8; U=32 regresses to 13.7k) — the per-iteration fixed
+    cost amortizes across more fused steps until the <=U-1 no-op
+    overshoot after the last lane finishes starts to dominate.
+
+    SEQLIB_SMEM_UNROLL overrides, but is read at TRACE time only: the
+    jit cache keys on shapes, not env vars, so changing it after the
+    first compile has no effect (sweep it with one subprocess per
+    value — scripts/ sweeps do).  Non-numeric values fall back to the
+    default instead of raising mid-trace (ADVICE r4)."""
+    import os
+    try:
+        u = int(os.environ.get("SEQLIB_SMEM_UNROLL", "0"))
+    except ValueError:
+        u = 0
+    return u or (16 if jax.default_backend() != "cpu" else 2)
+
+
 def packed_while_loop(cond, body, init):
     """``lax.while_loop`` over a dict state, with the carry packed into
     ONE tensor per distinct array shape (scalars pass through).
@@ -783,13 +804,7 @@ def _smem_machine(fm: DeviceFMIndex, reads, lens, x0, min_intv, active,
     # here is ~0.45 KB/lane), so running U steps per iteration cuts
     # that overhead by U.  DONE lanes are no-ops, so the <=U-1 step
     # overshoot after the last lane finishes is free of semantics.
-    import os as _os
-    # U=16 measured best end-to-end on the axon runtime (12.9k -> 14.2k
-    # reads/s vs U=8; U=32 regresses to 13.7k) — the per-iteration
-    # fixed cost amortizes across more fused steps until the <=U-1
-    # no-op overshoot after the last lane finishes starts to dominate.
-    U = int(_os.environ.get("SEQLIB_SMEM_UNROLL", "0")) or \
-        (16 if jax.default_backend() != "cpu" else 2)
+    U = _unroll()
 
     def bodyU(st):
         for _ in range(U):
@@ -1029,13 +1044,7 @@ def seed_strategy_collect(fm: DeviceFMIndex, reads: jax.Array,
     def cond(st):
         return jnp.any(~st["done"]) & (st["it"] < 2 * L + 8)
 
-    import os as _os
-    # U=16 measured best end-to-end on the axon runtime (12.9k -> 14.2k
-    # reads/s vs U=8; U=32 regresses to 13.7k) — the per-iteration
-    # fixed cost amortizes across more fused steps until the <=U-1
-    # no-op overshoot after the last lane finishes starts to dominate.
-    U = int(_os.environ.get("SEQLIB_SMEM_UNROLL", "0")) or \
-        (16 if jax.default_backend() != "cpu" else 2)
+    U = _unroll()
 
     def bodyU(st):
         for _ in range(U):
