@@ -36,12 +36,17 @@ from ..core.unaligned import UnalignedSequence
 from ..index.fmindex import FMIndex
 from ..index.pack import both_strands
 from ..ops.fm import DeviceFMIndex
+from ..ops.fm_hilo import LO_BITS, DeviceFMIndexHiLo
 from .device_full import (FLAG_EMIT, FLAG_OVER, FLAG_PERFECT,
                           FLAG_WIDE, NFIELD, align_full)
+from .device_full_wide import NFIELD_W, align_full_wide
 from .device_pipeline import (global_and_traceback,
                               global_and_traceback_packed,
                               seed_chain_extend,
                               seed_chain_extend_packed, unpack_stage1)
+from .device_pipeline_wide import (pack_text_2bit,
+                                   seed_chain_extend_packed_wide,
+                                   unpack_stage1_wide)
 from .options import AlignerOptions
 
 MAX_SEEDS = 16          # per read from the seed scan
@@ -173,16 +178,29 @@ class BWAAligner:
     """
 
     def __init__(self, index: FMIndex, options: AlignerOptions | None = None,
-                 mesh=None):
+                 mesh=None, wide: bool | None = None):
         """mesh: optional jax.sharding.Mesh with a 'dp' axis — device
         stages then run data-parallel across it (read batches sharded,
-        FM-index replicated; SURVEY.md §2.2 TPU-native scale-out)."""
+        FM-index replicated; SURVEY.md §2.2 TPU-native scale-out).
+
+        wide: force the hi/lo (int34) device path.  Auto-selected for
+        indexes whose 2L text exceeds 2^31 (the int32 path's bound) —
+        one bwaidx_t holds any-size genomes in the reference
+        (/root/reference/src/BWAIndex.cpp:28-33); the wide kernels are
+        this framework's equivalent (docs/SHARDED_INDEX.md)."""
         self.index = index
         self.options = options or AlignerOptions()
         self.mesh = mesh
-        self.fm = DeviceFMIndex.from_host(index)
+        self.wide = (index.seq_len >= 2**31) if wide is None else wide
         self.text = both_strands(index.ref.codes)      # host 2L codes
-        self.text_j = jnp.asarray(self.text)
+        if self.wide:
+            self.fm = DeviceFMIndexHiLo.from_host(index)
+            # device text is 2-bit packed: gather indices stay int32
+            # (word index = pos >> 4) and HBM cost drops 4x
+            self.text_j = jnp.asarray(pack_text_2bit(self.text))
+        else:
+            self.fm = DeviceFMIndex.from_host(index)
+            self.text_j = jnp.asarray(self.text)
         self._copy_comment = False
         # truncation telemetry: fixed-shape device caps are counted
         # and surfaced instead of silently losing alignments
@@ -218,8 +236,11 @@ class BWAAligner:
         dp1 = P("dp")
         dp2 = P("dp", None)
 
+        fused_impl = seed_chain_extend_packed_wide if self.wide \
+            else seed_chain_extend_packed
+
         def fused_fn(reads, lens):
-            return seed_chain_extend_packed(
+            return fused_impl(
                 fm, text, reads, lens, l_pac=self.index.l_pac,
                 max_seeds=MAX_SEEDS, min_seed_len=opt.min_seed_len,
                 max_occ=opt.max_occ, k_occ=MAX_OCC_LOCATE,
@@ -278,7 +299,9 @@ class BWAAligner:
         opt = self.options
         if self.mesh is not None:
             return self._sh_fused(enc_j, lens_j)
-        return seed_chain_extend_packed(
+        fn = seed_chain_extend_packed_wide if self.wide \
+            else seed_chain_extend_packed
+        return fn(
             self.fm, self.text_j, enc_j, lens_j,
             l_pac=self.index.l_pac,
             max_seeds=MAX_SEEDS, min_seed_len=opt.min_seed_len,
@@ -306,7 +329,8 @@ class BWAAligner:
         if stage1 is None:
             stage1 = self._dispatch_stage1(
                 jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
-        out = unpack_stage1(np.asarray(stage1), MAX_CHAINS)
+        unpack = unpack_stage1_wide if self.wide else unpack_stage1
+        out = unpack(np.asarray(stage1), MAX_CHAINS)
         frac_reps = out["rep_cov"] / np.maximum(lens, 1)
         keep = out["keep"]
         qb, qe = out["qb"], out["qe"]
@@ -355,21 +379,41 @@ class BWAAligner:
         b_idx = np.full(M, -1, np.int32)
         aq = np.zeros(M, np.int32)
         alen = np.zeros(M, np.int32)
-        ar = np.zeros(M, np.int32)
         b_idx[:n] = bs
         aq[:n] = out["anchor_q"][bs, cs]
         alen[:n] = out["anchor_len"][bs, cs]
-        ar[:n] = out["anchor_r"][bs, cs]
-        res = extend_chains(
-            self.text_j, jnp.asarray(enc),
-            jnp.asarray(lens.astype(np.int32)),
-            jnp.asarray(b_idx), jnp.asarray(aq), jnp.asarray(alen),
-            jnp.asarray(ar), l_pac=self.index.l_pac,
+        common = dict(
+            l_pac=self.index.l_pac,
             o_del=opt.o_del, e_del=opt.e_del, o_ins=opt.o_ins,
             e_ins=opt.e_ins, match=opt.a, mismatch=opt.b,
             pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3, w=opt.w,
             zdrop=opt.zdrop)
-        eqb, eqe, erb, ere, esc = jax.device_get(res)
+        if self.wide:
+            from .device_pipeline_wide import extend_chains_wide
+            ar64 = np.zeros(M, np.int64)
+            ar64[:n] = out["anchor_r"][bs, cs]
+            res = extend_chains_wide(
+                self.text_j, jnp.asarray(enc),
+                jnp.asarray(lens.astype(np.int32)),
+                jnp.asarray(b_idx), jnp.asarray(aq), jnp.asarray(alen),
+                jnp.asarray((ar64 >> LO_BITS).astype(np.int32)),
+                jnp.asarray((ar64 & ((1 << LO_BITS) - 1))
+                            .astype(np.int32)),
+                **common)
+            eqb, eqe, erbh, erbl, ereh, erel, esc = jax.device_get(res)
+            erb = erbh.astype(np.int64) * (1 << LO_BITS) \
+                + erbl.astype(np.int64)
+            ere = ereh.astype(np.int64) * (1 << LO_BITS) \
+                + erel.astype(np.int64)
+        else:
+            ar = np.zeros(M, np.int32)
+            ar[:n] = out["anchor_r"][bs, cs]
+            res = extend_chains(
+                self.text_j, jnp.asarray(enc),
+                jnp.asarray(lens.astype(np.int32)),
+                jnp.asarray(b_idx), jnp.asarray(aq), jnp.asarray(alen),
+                jnp.asarray(ar), **common)
+            eqb, eqe, erb, ere, esc = jax.device_get(res)
         qb[bs, cs] = eqb[:n]; qe[bs, cs] = eqe[:n]
         rb[bs, cs] = erb[:n]; re[bs, cs] = ere[:n]
         score[bs, cs] = esc[:n]
@@ -607,7 +651,8 @@ class BWAAligner:
         enc_lens = np.concatenate(
             [enc, lens.astype("<u4").view(np.uint8).reshape(-1, 4)],
             axis=1)
-        return align_full(
+        fn = align_full_wide if self.wide else align_full
+        return fn(
             self.fm, self.text_j, jnp.asarray(enc_lens),
             l_pac=self.index.l_pac, max_seeds=MAX_SEEDS,
             min_seed_len=opt.min_seed_len, max_occ=opt.max_occ,
@@ -704,24 +749,39 @@ class BWAAligner:
         packed = np.asarray(res[2])
         B = enc.shape[0]
         C = MAX_CHAINS
-        fields = regions[:, :C * NFIELD].reshape(B, C, NFIELD)
-        rep_cov = regions[:, C * NFIELD]
-        n_regs = regions[:, C * NFIELD + 1]
-        self.stats["occ_clipped"] += int(regions[:, C * NFIELD + 2].sum())
-        self.stats["seeds_at_cap"] += int(regions[:, C * NFIELD + 3].sum())
+        if self.wide:
+            # join the (hi, lo) rb/re planes into the int32 layout's
+            # 10-field order, widened to int64 (the vectorized math
+            # below is already int64-safe)
+            fw = regions[:, :C * NFIELD_W].reshape(B, C, NFIELD_W) \
+                .astype(np.int64)
+            join = fw[:, :, 2] * (1 << LO_BITS) + fw[:, :, 3], \
+                fw[:, :, 4] * (1 << LO_BITS) + fw[:, :, 5]
+            fields = np.stack(
+                [fw[:, :, 0], fw[:, :, 1], join[0], join[1],
+                 fw[:, :, 6], fw[:, :, 7], fw[:, :, 8], fw[:, :, 9],
+                 fw[:, :, 10], fw[:, :, 11]], axis=2)
+            extra0 = C * NFIELD_W
+        else:
+            fields = regions[:, :C * NFIELD].reshape(B, C, NFIELD)
+            extra0 = C * NFIELD
+        rep_cov = regions[:, extra0]
+        n_regs = regions[:, extra0 + 1]
+        self.stats["occ_clipped"] += int(regions[:, extra0 + 2].sum())
+        self.stats["seeds_at_cap"] += int(regions[:, extra0 + 3].sum())
         self.stats["chains_at_cap"] += int(
-            (regions[:, C * NFIELD + 4] > MAX_CHAINS).sum())
+            (regions[:, extra0 + 4] > MAX_CHAINS).sum())
         # extension-stage DP slot overflow: the fused program's
         # compacted extension dropped chains; redo the batch through
         # the classic (uncompacted-capable) path
         from .device_pipeline import dp_rows
-        if B and int(regions[0, C * NFIELD + 6]) > dp_rows(B):
+        if B and int(regions[0, extra0 + 6]) > dp_rows(B):
             # telemetry: this fallback re-runs the whole batch through
             # the classic path (~2.5x cost) — it must stay RARE
             self.stats["fused_overflow_fallback"] += 1
             return None
         # batch run-length decode for every used DP row
-        n_dp = int(regions[0, C * NFIELD + 5]) if B else 0
+        n_dp = int(regions[0, extra0 + 5]) if B else 0
         run_rows, run_ops, run_lens = _ops_to_runs(
             _unpack_ops(packed), n_dp)
 
