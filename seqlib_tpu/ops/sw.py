@@ -57,14 +57,14 @@ def _pack(h: jax.Array, i) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
                                              "e_ins", "match", "mismatch",
-                                             "zdrop"))
+                                             "zdrop", "band"))
 def extend_batch(query: jax.Array, qlen: jax.Array,
                  target: jax.Array, tlen: jax.Array,
                  h0: jax.Array,
                  o_del: int = 6, e_del: int = 1,
                  o_ins: int = 6, e_ins: int = 1,
                  match: int = 1, mismatch: int = 4,
-                 zdrop: int = 0):
+                 zdrop: int = 0, band: int = 0):
     """Batched seed extension (ksw_extend semantics incl. zdrop).
 
     query/target: int8/int32 nt4 codes [B, Lq] / [B, Lt] (4 = N,
@@ -80,6 +80,13 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
     /root/reference/src/BWAAligner.cpp:36-41) — this costs one row
     max+argmax reduction per row, skipped entirely when zdrop == 0.
 
+    With ``band > 0``, DP cells outside the diagonal band
+    ``|j - (i+1)| <= band`` are -inf — ksw_extend's static band
+    (``beg1 = max(beg, i-w); end1 = min(end, i+w+1)``; the reference
+    passes mem_opt_t.w = 100).  band == 0 computes the full rectangle
+    (a superset: its optimum >= the banded optimum).  Same convention
+    as ``global_batch``'s band.
+
     Returns dict: score, qle, tle (position of the max, lengths
     consumed), gscore, gtle (best score consuming the whole query).
     """
@@ -94,6 +101,10 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
     h_row0 = h_row0.at[:, 0].set(h0)
     tmask = jt[None, :] <= tlen[:, None]          # valid target boundary
     h_row0 = jnp.where(tmask, h_row0, NEG)
+    if band > 0:
+        # strict band: row 0 included (cells outside |j - R| <= band
+        # are dead in EVERY plane, F included — see body)
+        h_row0 = jnp.where(jt[None, :] <= band, h_row0, NEG)
 
     neg_row = jnp.full((B, Lt + 1), NEG, jnp.int32)
     init = (h_row0.astype(jnp.int32), neg_row,
@@ -115,9 +126,15 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
                         f_prev - e_ins)                       # [B, Lt+1]
         hnd = jnp.concatenate(
             [jnp.maximum(F[:, :1], NEG), jnp.maximum(M, F[:, 1:])], axis=1)
+        if band > 0:
+            in_band = jnp.abs(jt[None, :] - (i + 1)) <= band
+            hnd = jnp.where(in_band, hnd, NEG)
+            F = jnp.where(in_band, F, NEG)   # strict band: F dead too
         E = _row_scan_E(hnd, o_del, e_del)
         h = jnp.maximum(hnd, E)
         h = jnp.where(tmask, h, NEG)
+        if band > 0:
+            h = jnp.where(in_band, h, NEG)
         active = ((i < qlen) & ~stopped)[:, None]             # [B, 1]
         h = jnp.where(active, h, h_prev)
         f = jnp.where(active, F, f_prev)

@@ -171,6 +171,208 @@ def _extend_kernel(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
                           keepdims=True)
 
 
+def _extend_kernel_banded(q_ref, ql_ref, t_ref, tl_ref, h0_ref,
+                          score_ref, qle_ref, tle_ref, gscore_ref,
+                          gtle_ref,
+                          *, LQ: int, DW: int, DB: int, W: int,
+                          o_del: int, e_del: int, o_ins: int,
+                          e_ins: int, match: int, mismatch: int,
+                          zdrop: int):
+    """Banded extension in RELATIVE-DIAGONAL coordinates (v5).
+
+    DP state planes are indexed by rd = j - R + W (R = DP row, j =
+    target column, W = band half-width): the diagonal dependency
+    becomes the IDENTITY (no roll), the insertion chain is one
+    roll(-1), and every plane has extent DW ~ 2W+2 instead of the
+    rectangle's TW — the roll/VMEM traffic per row shrinks by
+    DW/TW.  Matches ksw_extend's static band |j - R| <= W exactly
+    (ops.sw.extend_batch(band=W) is the pinned XLA twin).
+
+    t_ref: [TB, BL] buffer with row r = target char consumed at
+    column j = r - (W + 7) (so a 16-row block's window slice starts
+    at the 8-aligned row 16*ib + 8); q_ref as in the rectangle
+    kernel.
+    """
+    i16 = jnp.int32
+    ql = ql_ref[:]
+    tl = tl_ref[:]
+    h0 = h0_ref[:].astype(i16)
+
+    rd32 = jax.lax.broadcasted_iota(jnp.int32, (DW, BL), 0)
+    neg = jnp.full((DW, BL), NEG16, i16)
+    n_steps = max(DW - 1, 1).bit_length()
+    ecoef = jnp.int32(e_del) * rd32
+
+    # row-0 state: H[0][j] at rd = j + W (R = 0)
+    j0 = rd32 - W
+    h_row0 = h0 - jnp.int32(o_del) - jnp.int32(e_del) * j0
+    h_row0 = jnp.where(h_row0 < 0, neg, h_row0)
+    h_row0 = jnp.where(j0 == 0, h0, h_row0)
+    # strict band applies to row 0 as well: j in [0, W]
+    h_row0 = jnp.where((j0 >= 0) & (j0 <= tl) & (j0 <= W), h_row0, neg)
+
+    def row_body(i, qi, tchars, st):
+        (h_prev, f_prev, g_rel, zstate) = st
+        zbest, zbi, zbj, stopped, best, bi, bj = zstate
+        R = i + 1
+        jv = rd32 + (R - W)                      # column j of each rd
+        mask = (jv >= 0) & (jv <= tl) & (rd32 <= 2 * W)
+        is_match = (tchars == qi) & (tchars < 4) & (qi < 4)
+        sub = jnp.where(is_match, jnp.int32(match), jnp.int32(-mismatch))
+        M = h_prev + sub                          # identity diagonal
+        # prev[rd+1] via a cyclic roll by DW-1 (top row masked below)
+        h_shift = _roll16(h_prev, DW - 1)
+        f_shift = _roll16(f_prev, DW - 1)
+        h_shift = jnp.where(rd32 <= DW - 2, h_shift, neg)
+        f_shift = jnp.where(rd32 <= DW - 2, f_shift, neg)
+        F = jnp.maximum(h_shift - jnp.int32(o_ins + e_ins),
+                        f_shift - jnp.int32(e_ins))
+        F = jnp.where(mask, F, neg)   # strict band: F dead outside too
+        F = jnp.maximum(F, neg)
+        hnd = jnp.where(jv >= 1, jnp.maximum(M, F), F)
+        hnd = jnp.where(mask, hnd, neg)
+        hnd = jnp.maximum(hnd, neg)
+        # E scan along rd (e*j and e*rd differ by a per-row constant
+        # that cancels between the scan and the final subtraction)
+        g = hnd + ecoef
+        s = 1
+        for _ in range(n_steps):
+            rolled = _roll16(g, s)
+            g = jnp.maximum(g, jnp.where(rd32 >= s, rolled, neg))
+            s *= 2
+        g1 = _roll16(g, 1)
+        E = jnp.where(rd32 >= 1, g1, neg) - jnp.int32(o_del) - ecoef
+        h = jnp.maximum(hnd, E)
+        h = jnp.where(mask, h, neg)
+        act32 = (i < ql) & (stopped == 0)         # [1, BL]
+        h = jnp.where(act32, h, h_prev)
+        f = jnp.where(act32, F, f_prev)
+        # ONE row reduction serves best-tracking and zdrop
+        hcl = jnp.where(act32 & (jv > 0) & mask, jnp.maximum(h, -1),
+                        jnp.int32(-1))
+        rpack = ((hcl + 2) << 12) + (4095 - rd32)
+        colmax = jnp.max(rpack, axis=0, keepdims=True)      # [1, BL]
+        m = (colmax >> 12) - 2
+        mrd = 4095 - (colmax & 0xFFF)
+        mj = mrd + (R - W)
+        better = act32 & (m > best)
+        best = jnp.where(better, m, best)
+        bi = jnp.where(better, i, bi)
+        bj = jnp.where(better, mj, bj)
+        # g capture (end-of-query row, per lane): elementwise plane
+        at_last = act32 & (i == ql - 1)
+        g_rel = jnp.where(at_last & mask, h, g_rel)
+        if zdrop > 0:
+            better_z = m > zbest
+            di = i - zbi
+            dj = mj - zbj
+            gap = jnp.abs(di - dj)
+            pen = jnp.where(di > dj, e_del, e_ins) * gap
+            zstop = act32 & ~better_z & (zbest - m - pen > zdrop)
+            stopped = jnp.maximum(
+                stopped, (zstop | (act32 & (m <= 0))).astype(jnp.int32))
+            zbest = jnp.where(act32 & better_z, m, zbest)
+            zbi = jnp.where(act32 & better_z, i, zbi)
+            zbj = jnp.where(act32 & better_z, mj, zbj)
+        return (h, f, g_rel,
+                (zbest, zbi, zbj, stopped, best, bi, bj))
+
+    assert LQ % 16 == 0
+
+    def blk_body(ib, st):
+        i0 = ib * 16
+        qblk = q_ref[pl.ds(pl.multiple_of(i0, 16), 16), :].astype(jnp.int32)
+        tblk = t_ref[pl.ds(pl.multiple_of(i0 + 8, 8), DB), :] \
+            .astype(jnp.int32)
+        for k in range(16):
+            # char consumed at column j = R - W + rd sits at buffer row
+            # j + W + 7 = (16*ib + 8) + (k + rd): within-slice k + rd
+            st = row_body(i0 + k, qblk[k:k + 1, :],
+                          jax.lax.slice_in_dim(tblk, k, k + DW, axis=0),
+                          st)
+        return st
+
+    zero1 = jnp.zeros((1, BL), jnp.int32)
+    zinit = (h0_ref[:].astype(jnp.int32), zero1, zero1,
+             jnp.zeros((1, BL), jnp.int32),
+             jnp.zeros((1, BL), jnp.int32), zero1, zero1)
+    init = (h_row0, neg, neg, zinit)
+    h, f, g_rel, zfin = jax.lax.fori_loop(0, LQ // 16, blk_body, init)
+    _, _, _, _, best, bi, bj = zfin
+
+    found = best > 0
+    score_ref[:] = jnp.where(found, best, 0)
+    qle_ref[:] = jnp.where(found, bi + 1, 0)
+    tle_ref[:] = jnp.where(found, bj, 0)
+    # g planes -> (value, min-rd) in one packed reduction; j = ql-W+rd
+    BIG = jnp.int32(0x7FFFFFFF)
+    gpack = ((g_rel + 32768) << 12) + (4095 - rd32)
+    gmax = jnp.max(gpack, axis=0, keepdims=True)
+    gval = (gmax >> 12) - 32768
+    grd = 4095 - (gmax & 0xFFF)
+    found_g = gval > NEG16
+    gscore_ref[:] = jnp.where(found_g, gval, jnp.int32(-0x40000000))
+    gtle_ref[:] = jnp.where(found_g, grd + (ql - W), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins", "match", "mismatch",
+                                             "zdrop", "band", "interpret"))
+def extend_batch_pallas_banded(query, qlen, target, tlen, h0,
+                               o_del: int = 6, e_del: int = 1,
+                               o_ins: int = 6, e_ins: int = 1,
+                               match: int = 1, mismatch: int = 4,
+                               zdrop: int = 0, band: int = 100,
+                               interpret: bool = False):
+    """Banded Pallas extension: drop-in for
+    ``ops.sw.extend_batch(band=band)`` (bit-identical outputs)."""
+    assert band > 0
+    B, LQ0 = query.shape
+    _, LT = target.shape
+    W = band
+    DW = ((2 * W + 2 + 7) // 8) * 8
+    LQ = ((LQ0 + 15) // 16) * 16
+    DB = DW + 16                      # block slice: 16 rows of windows
+    # buffer rows: last slice reaches LQ - 8 + DB; target chars occupy
+    # rows [W + 8, W + 8 + LT)
+    TB = ((max(LQ + DB - 8, W + 8 + LT) + 7) // 8) * 8
+    Bp = ((B + BL - 1) // BL) * BL
+    qp = jnp.full((LQ, Bp), 4, jnp.int16).at[:LQ0, :B].set(
+        query.astype(jnp.int16).T)
+    # tb[r] = char consumed at column j = r - (W + 7)
+    tp = jnp.full((TB, Bp), 4, jnp.int16).at[W + 8:W + 8 + LT, :B].set(
+        target.astype(jnp.int16).T)
+    qlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(
+        qlen.astype(jnp.int32))
+    tlp = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(
+        tlen.astype(jnp.int32))
+    h0p = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(
+        h0.astype(jnp.int32))
+
+    kern = functools.partial(
+        _extend_kernel_banded, LQ=LQ, DW=DW, DB=DB, W=W,
+        o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+        match=match, mismatch=mismatch, zdrop=zdrop)
+    grid = (Bp // BL,)
+
+    def bspec(rows, dt):
+        return pl.BlockSpec((rows, BL), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bspec(LQ, jnp.int16), bspec(1, jnp.int32),
+                  bspec(TB, jnp.int16), bspec(1, jnp.int32),
+                  bspec(1, jnp.int32)],
+        out_specs=[bspec(1, jnp.int32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((1, Bp), jnp.int32)] * 5,
+        interpret=interpret,
+    )(qp, qlp, tp, tlp, h0p)
+    score, qle, tle, gscore, gtle = [o[0, :B] for o in out]
+    return dict(score=score, qle=qle, tle=tle, gscore=gscore, gtle=gtle)
+
+
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
                                              "e_ins", "match", "mismatch",
                                              "zdrop", "interpret"))
