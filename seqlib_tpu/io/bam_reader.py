@@ -142,6 +142,11 @@ class BamReader:
         return self.set_regions([gr])
 
     def set_regions(self, grc) -> bool:
+        if self._mode == "cram":
+            # format-agnostic region iteration like the reference's
+            # (htslib sam_itr_queryi works on CRAM via the .crai;
+            # /root/reference/src/BamReader.cpp:64-151)
+            return self._cram.set_regions(list(grc))
         if self._mode != "bam" or self._index is None:
             return False
         self._regions = list(grc)

@@ -28,6 +28,7 @@ class BamWriter:
         self._path: str | None = None
         self._bgzf: BgzfWriter | None = None
         self._cram = None
+        self._crai_entries = None
         self._sam_fh = None
         self._header: BamHeader | None = None
         self._header_written = False
@@ -145,9 +146,18 @@ class BamWriter:
         self._index = BaiIndex(self._header.num_sequences())
 
     def build_index(self) -> bool:
-        """Build .bai for the closed output (BamWriter.cpp:46-67)."""
+        """Build .bai (BAM) or .crai (CRAM) for the closed output —
+        the reference's BuildIndex indexes whatever was written
+        (BamWriter.cpp:46-67; sam_index_build picks the index kind by
+        format)."""
         if self._fmt == SAM or self._path in (None, "-"):
             return False
+        if self._fmt == CRAM:
+            if self._crai_entries is None:
+                return False
+            from .cram import write_crai
+            write_crai(self._path + ".crai", self._crai_entries)
+            return True
         if self._index is not None:
             self._index.save(self._path + ".bai")
             return True
@@ -178,6 +188,7 @@ class BamWriter:
         elif self._fmt == CRAM:
             if self._cram is not None:
                 self._cram.close()
+                self._crai_entries = self._cram.index_entries
                 self._cram = None
         elif self._bgzf is not None:
             self._bgzf.close()

@@ -890,6 +890,33 @@ def _decode_records(ch: CompressionHeader, slc: dict,
 
 
 # ---------------------------------------------------------------------------
+# .crai index (CRAM spec appendix: gzip-compressed TSV, one line per
+# slice: ref_id, start, span, container byte offset, slice byte offset
+# within the container body (= its landmark), slice size in bytes)
+# ---------------------------------------------------------------------------
+
+def write_crai(path: str, entries) -> None:
+    import gzip
+    with gzip.open(path, "wb") as fh:
+        for ref_id, start, span, coff, soff, ssize in entries:
+            fh.write(f"{ref_id}\t{start}\t{span}\t{coff}\t{soff}\t"
+                     f"{ssize}\n".encode())
+
+
+def read_crai(path: str) -> list[tuple[int, int, int, int, int, int]]:
+    import gzip
+    out = []
+    with gzip.open(path, "rb") as fh:
+        for line in fh.read().decode().splitlines():
+            if not line.strip():
+                continue
+            f = line.split("\t")
+            out.append((int(f[0]), int(f[1]), int(f[2]), int(f[3]),
+                        int(f[4]), int(f[5])))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # reader / writer
 # ---------------------------------------------------------------------------
 
@@ -905,16 +932,26 @@ class CramWriter:
         if hasattr(path_or_fileobj, "write"):
             self._fh = path_or_fileobj
             self._owns = False
+            self.path = None
         else:
             self._fh = open(path_or_fileobj, "wb")
             self._owns = True
-        self._fh.write(CRAM_MAGIC + b"seqlib_tpu".ljust(20, b"\x00"))
+            self.path = path_or_fileobj
+        self._offset = 0
+        self._write(CRAM_MAGIC + b"seqlib_tpu".ljust(20, b"\x00"))
         self._pending: list[BamRecord] = []
         self._counter = 0
         self._header_written = False
         self._reference = reference
         self._ref_get = None
         self._header: BamHeader | None = None
+        # .crai entries: (ref_id, start, span, container_offset,
+        # slice_offset, slice_size) per written slice
+        self.index_entries: list[tuple[int, int, int, int, int, int]] = []
+
+    def _write(self, data: bytes) -> None:
+        self._fh.write(data)
+        self._offset += len(data)
 
     def set_reference(self, reference) -> None:
         """Attach/replace the reference before any record is flushed."""
@@ -925,7 +962,7 @@ class CramWriter:
         text = hdr.as_string().encode()
         blk = write_block(GZIP, FILE_HEADER, 0,
                           struct.pack("<i", len(text)) + text)
-        self._fh.write(write_container([blk], ref_id=-1))
+        self._write(write_container([blk], ref_id=-1))
         self._header_written = True
         self._header = hdr
 
@@ -976,7 +1013,11 @@ class CramWriter:
             method = RANS if cid in (_DS_IDS["QS"], _DS_IDS["BB"],
                                      _DS_IDS["BA"]) else GZIP
             blocks.append(write_block(method, EXTERNAL, cid, ext[cid]))
-        self._fh.write(write_container(
+        container_offset = self._offset
+        self.index_entries.append(
+            (s_ref, s_start, s_span, container_offset, len(comp),
+             sum(len(b) for b in blocks[1:])))
+        self._write(write_container(
             blocks, ref_id=s_ref, start=s_start, span=s_span,
             n_records=len(recs), counter=self._counter,
             bases=sum(len(r.seq or "") for r in recs)))
@@ -985,9 +1026,21 @@ class CramWriter:
 
     def close(self) -> None:
         self._flush()
-        self._fh.write(CRAM_EOF)
+        self._write(CRAM_EOF)
         if self._owns:
             self._fh.close()
+
+    def write_index(self, crai_path: str | None = None) -> str:
+        """Write the .crai for the finished file (call after close;
+        parity: BamWriter::BuildIndex indexes whatever was written,
+        /root/reference/src/BamWriter.cpp:46-67 — sam_index_build
+        emits .crai for CRAM)."""
+        if crai_path is None:
+            if self.path is None:
+                raise ValueError("CramWriter.write_index: no path")
+            crai_path = self.path + ".crai"
+        write_crai(crai_path, self.index_entries)
+        return crai_path
 
 
 class CramReader:
@@ -998,8 +1051,10 @@ class CramReader:
         /root/reference/src/BamReader.cpp:159-167)."""
         if hasattr(path_or_fileobj, "read"):
             self._fh = path_or_fileobj
+            self._path = None
         else:
             self._fh = open(path_or_fileobj, "rb")
+            self._path = path_or_fileobj
         magic = self._fh.read(6)
         if magic != CRAM_MAGIC:
             raise ValueError("not a CRAM 3.0 file")
@@ -1021,7 +1076,126 @@ class CramReader:
         (l_text,) = struct.unpack_from("<i", blk["data"], 0)
         return BamHeader(blk["data"][4:4 + l_text].decode())
 
+    def _decode_container_body(self, ch, body) -> list[BamRecord]:
+        off = 0
+        comp_hdr = None
+        slices = []          # (slice dict, ext blocks, core bytes)
+        cur = None
+        for _ in range(ch["n_blocks"]):
+            blk, off = read_block(body, off)
+            if blk["ctype"] == COMPRESSION_HEADER:
+                comp_hdr = CompressionHeader(blk["data"])
+            elif blk["ctype"] == SLICE_HEADER:
+                cur = (read_slice_header(blk["data"]), {},
+                       bytearray())
+                slices.append(cur)
+            elif blk["ctype"] == CORE and cur is not None:
+                cur[2][:] = blk["data"]
+            elif blk["ctype"] == EXTERNAL and cur is not None:
+                cur[1][blk["content_id"]] = blk["data"]
+        if comp_hdr is None:
+            raise ValueError("CRAM: container missing "
+                             "compression header")
+        if comp_hdr.rr and self._ref_get is None \
+                and self._reference is not None:
+            self._ref_get = make_ref_get(self._reference,
+                                         self.header)
+        out = []
+        for slc, ext, core in slices:
+            embedded = None
+            emb_id = slc.get("embedded_ref_id", -1)
+            if emb_id is not None and emb_id >= 0 \
+                    and emb_id in ext:
+                # embedded reference block covers the slice span
+                # starting at its (1-based) start position
+                embedded = (ext[emb_id], slc["start"] - 1)
+            out.extend(_decode_records(
+                comp_hdr, slc, ext, bytes(core),
+                self.header.num_sequences()
+                if hasattr(self.header, "num_sequences") else 0,
+                ref_get=self._ref_get, embedded=embedded))
+        return out
+
+    def set_regions(self, regions) -> bool:
+        """Region-restricted iteration through the .crai (parity:
+        the reference's SetRegions + Next work identically on CRAM
+        because htslib's iterator machinery is format-agnostic,
+        /root/reference/src/BamReader.cpp:64-151).  ``regions``:
+        GenomicRegion-like objects (``chr`` tid, 1-based ``pos1``,
+        ``pos2``).  Requires <path>.crai (written by CramWriter.
+        write_index / BamWriter.build_index)."""
+        if self._path is None:
+            return False
+        crai = self._path + ".crai"
+        import os as _os
+        if not _os.path.exists(crai):
+            return False
+        self._crai = read_crai(crai)
+        self._regions = list(regions)
+        self._region_idx = 0
+        self._queue = []
+        self._region_mode = True
+        self._arm_region()
+        return True
+
+    def _arm_region(self) -> None:
+        """Build the ascending container-offset plan for the current
+        region: single-ref slices overlapping it, plus every multi-ref
+        (-2) slice (those need decoding to know their contents)."""
+        while self._region_idx < len(self._regions):
+            gr = self._regions[self._region_idx]
+            beg = max(gr.pos1 - 1, 0)
+            end = gr.pos2
+            offs = []
+            for ref_id, start, span, coff, _soff, _ssz in self._crai:
+                if ref_id == -2:
+                    offs.append(coff)
+                elif ref_id == gr.chr and start - 1 < end \
+                        and start - 1 + max(span, 0) > beg:
+                    offs.append(coff)
+            self._plan = sorted(set(offs))
+            self._plan_idx = 0
+            if self._plan:
+                return
+            self._region_idx += 1
+        self._plan = []
+        self._plan_idx = 0
+
+    def _next_region(self) -> BamRecord | None:
+        while self._region_idx < len(self._regions):
+            gr = self._regions[self._region_idx]
+            beg, end = max(gr.pos1 - 1, 0), gr.pos2
+            while True:
+                while self._queue:
+                    rec = self._queue.pop(0)
+                    if rec.tid != gr.chr:
+                        continue
+                    if rec.pos >= end:
+                        # coordinate-sorted file: past the region
+                        self._queue = []
+                        self._plan_idx = len(self._plan)
+                        break
+                    if rec.position_end() > beg:
+                        return rec
+                if self._plan_idx >= len(self._plan):
+                    break
+                coff = self._plan[self._plan_idx]
+                self._plan_idx += 1
+                self._fh.seek(coff)
+                ch = read_container_header(self._fh)
+                if ch is None:
+                    break
+                body = self._fh.read(ch["length"])
+                if ch["n_records"]:
+                    self._queue = self._decode_container_body(ch, body)
+            self._region_idx += 1
+            if self._region_idx < len(self._regions):
+                self._arm_region()
+        return None
+
     def next(self) -> BamRecord | None:
+        if getattr(self, "_region_mode", False):
+            return self._next_region()
         while not self._queue and not self._eof:
             ch = read_container_header(self._fh)
             if ch is None or ch["ref_id"] == -1 and ch["n_records"] == 0 \
@@ -1031,44 +1205,7 @@ class CramReader:
             body = self._fh.read(ch["length"])
             if ch["n_records"] == 0:
                 continue
-            off = 0
-            comp_hdr = None
-            slices = []          # (slice dict, ext blocks, core bytes)
-            cur = None
-            for _ in range(ch["n_blocks"]):
-                blk, off = read_block(body, off)
-                if blk["ctype"] == COMPRESSION_HEADER:
-                    comp_hdr = CompressionHeader(blk["data"])
-                elif blk["ctype"] == SLICE_HEADER:
-                    cur = (read_slice_header(blk["data"]), {},
-                           bytearray())
-                    slices.append(cur)
-                elif blk["ctype"] == CORE and cur is not None:
-                    cur[2][:] = blk["data"]
-                elif blk["ctype"] == EXTERNAL and cur is not None:
-                    cur[1][blk["content_id"]] = blk["data"]
-            if comp_hdr is None:
-                raise ValueError("CRAM: container missing "
-                                 "compression header")
-            if comp_hdr.rr and self._ref_get is None \
-                    and self._reference is not None:
-                self._ref_get = make_ref_get(self._reference,
-                                             self.header)
-            out = []
-            for slc, ext, core in slices:
-                embedded = None
-                emb_id = slc.get("embedded_ref_id", -1)
-                if emb_id is not None and emb_id >= 0 \
-                        and emb_id in ext:
-                    # embedded reference block covers the slice span
-                    # starting at its (1-based) start position
-                    embedded = (ext[emb_id], slc["start"] - 1)
-                out.extend(_decode_records(
-                    comp_hdr, slc, ext, bytes(core),
-                    self.header.num_sequences()
-                    if hasattr(self.header, "num_sequences") else 0,
-                    ref_get=self._ref_get, embedded=embedded))
-            self._queue = out
+            self._queue = self._decode_container_body(ch, body)
         if self._queue:
             return self._queue.pop(0)
         return None

@@ -50,6 +50,8 @@ def itf8(v: int) -> bytes:
 def ltf8(v: int) -> bytes:
     if v < 0x80:
         return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
     raise NotImplementedError("fixture only needs small LTF8")
 
 
@@ -485,7 +487,99 @@ def gen_rr1(embedded: bool, out_path: str) -> None:
     print(f"wrote {out_path} ({os.path.getsize(out_path)} bytes)")
 
 
+def gen_multicontainer(out_path: str) -> None:
+    """Multi-container fixture + hand-computed .crai for region-query
+    testing: four single-ref containers (three on chr1 at distinct
+    coordinate windows, one on chr2), each with its own slice
+    ref/start/span, plus the spec-appendix .crai (gzip TSV of
+    ref_id, start, span, container offset, slice landmark, slice
+    size).  Records are mapped, feature-free (FN=0, bases implicit —
+    RR=0 so they decode as N), CF=0 (no quals): the queryable fields
+    are qname/tid/pos/read-length."""
+    ap_id, rnv_id, mq_id = 120, 121, 122
+
+    def huff_params(symbols, lengths):
+        return (itf8(len(symbols)) + b"".join(itf8(s) for s in symbols)
+                + itf8(len(lengths)) + b"".join(itf8(x) for x in lengths))
+
+    series = [
+        (b"BF", enc(3, huff_params([0], [0]))),          # const 0
+        (b"CF", enc(3, huff_params([0], [0]))),          # const 0
+        (b"RL", enc(6, itf8(0) + itf8(6))),              # BETA 6 bits
+        (b"AP", enc(1, itf8(ap_id))),
+        (b"RN", enc(4, enc(6, itf8(0) + itf8(4))
+                    + enc(1, itf8(rnv_id)))),
+        (b"TL", enc(3, huff_params([0], [0]))),
+        (b"FN", enc(3, huff_params([0], [0]))),          # no features
+        (b"MQ", enc(1, itf8(mq_id))),
+    ]
+    td = b"\x00"
+    pres = [(b"RN", b"\x01"), (b"AP", b"\x00"), (b"RR", b"\x00"),
+            (b"TD", itf8(len(td)) + td)]
+    comp_hdr = cmap(pres) + cmap(series) + cmap([])
+
+    # (ref_id, [(name4, pos1, read_len)]) per container
+    spec = [
+        (0, [("c0r0", 101, 50), ("c0r1", 161, 50), ("c0r2", 221, 50)]),
+        (0, [("c1r0", 501, 50), ("c1r1", 571, 50)]),
+        (0, [("c2r0", 901, 50), ("c2r1", 931, 50), ("c2r2", 961, 50)]),
+        (1, [("c3r0", 51, 50), ("c3r1", 401, 50)]),
+    ]
+    sam_hdr = ("@HD\tVN:1.6\tSO:coordinate\n"
+               "@SQ\tSN:chr1\tLN:2000\n"
+               "@SQ\tSN:chr2\tLN:1000\n").encode()
+    hdr_block = block(RAW, FILE_HDR, 0,
+                      struct.pack("<i", len(sam_hdr)) + sam_hdr)
+    crai = []
+    with open(out_path, "wb") as f:
+        f.write(b"CRAM\x03\x00" + b"multi-fixture".ljust(20, b"\x00"))
+        offset = 26
+        hc = container([hdr_block], -1, 0, 0, 0, 0, 0)
+        f.write(hc)
+        offset += len(hc)
+        counter = 0
+        for ref_id, recs in spec:
+            core = Bits()
+            for _name, _pos, rl in recs:
+                core.put(rl, 6)          # RL (BETA 6 bits)
+                core.put(4, 4)           # RN length (BETA 4 bits)
+            ap = b"".join(itf8(p) for _n, p, _l in recs)
+            rn = "".join(n for n, _p, _l in recs).encode()
+            mq = b"".join(itf8(42) for _ in recs)
+            start = min(p for _n, p, _l in recs)
+            span = max(p + _l for _n, p, _l in recs) - start
+            cids = [ap_id, rnv_id, mq_id]
+            slice_hdr = (itf8(ref_id) + itf8(start) + itf8(span)
+                         + itf8(len(recs)) + ltf8(counter)
+                         + itf8(len(cids))
+                         + b"".join(itf8(c) for c in cids)
+                         + itf8(0xFFFFFFFF) + b"\x00" * 16)
+            blocks = [
+                block(GZIP, COMP_HDR, 0, comp_hdr),
+                block(RAW, SLICE_HDR, 0, slice_hdr),
+                block(RAW, CORE_T, 0, core.bytes()),
+                block(GZIP, EXT, ap_id, ap),
+                block(RAW, EXT, rnv_id, rn),
+                block(RAW, EXT, mq_id, mq),
+            ]
+            crai.append((ref_id, start, span, offset, len(blocks[0]),
+                         sum(len(b) for b in blocks[1:])))
+            c = container(blocks, ref_id, start, span, len(recs),
+                          counter, sum(_l for _n, _p, _l in recs))
+            f.write(c)
+            offset += len(c)
+            counter += len(recs)
+        f.write(EOF)
+    import gzip
+    with gzip.open(out_path + ".crai", "wb") as fh:
+        for e in crai:
+            fh.write(("\t".join(str(x) for x in e) + "\n").encode())
+    print(f"wrote {out_path} ({os.path.getsize(out_path)} bytes) "
+          f"+ .crai ({len(crai)} slices)")
+
+
 if __name__ == "__main__":
     main()
     gen_rr1(True, os.path.join(HERE, "interop_rr1_embed.cram"))
     gen_rr1(False, os.path.join(HERE, "interop_rr1_ext.cram"))
+    gen_multicontainer(os.path.join(HERE, "interop_multi.cram"))
