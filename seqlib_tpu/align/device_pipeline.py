@@ -30,13 +30,18 @@ from ..ops.sw import (BIT_EEXT, BIT_FEXT, BIT_MIS, DIR_E, DIR_M, NEG,
 
 
 def _extend_impl():
-    """Production extension kernel: the Pallas Mosaic kernel on TPU
-    (~2x XLA's fused loop, ops/sw_pallas.py), XLA elsewhere (Pallas
-    CPU would run interpreted)."""
+    """Production extension kernel: the adaptive-band Pallas kernel on
+    TPU (narrow first pass + provably-safe acceptance + full-band
+    rerun of the rest — ops/sw_pallas.extend_batch_adaptive, bit-equal
+    to the banded XLA loop), banded XLA elsewhere (Pallas on CPU would
+    run interpreted).  Both sides compute ksw_extend's static band
+    |j - R| <= w (the reference passes mem_opt_t.w = 100,
+    /root/reference/src/BWAAligner.cpp:75-80) — the pre-r5 kernels
+    computed the full rectangle, a superset bwa itself never scores."""
     import jax
     if jax.default_backend() != "cpu":
-        from ..ops.sw_pallas import extend_batch_pallas
-        return extend_batch_pallas
+        from ..ops.sw_pallas import extend_batch_adaptive
+        return extend_batch_adaptive
     return extend_batch
 
 OP_M, OP_D, OP_I, OP_NONE = 0, 1, 2, 3
@@ -442,7 +447,7 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
     out_l = ext(q_l, lq, t_l, wl, h0,
                          o_del=o_del, e_del=e_del, o_ins=o_ins,
                          e_ins=e_ins, match=match, mismatch=mismatch,
-                         zdrop=zdrop)
+                         zdrop=zdrop, band=w)
     # clip decision (read 5'): local vs to-end.  ksw_extend seeds its
     # running max with h0 and only extends on a STRICT improvement —
     # the kernel's max excludes the zero-extension cell, so apply that
@@ -478,7 +483,7 @@ def extend_chains(text, reads, lens, b_idx, aq, alen, ar,
                          score_l.astype(jnp.int32),
                          o_del=o_del, e_del=e_del, o_ins=o_ins,
                          e_ins=e_ins, match=match, mismatch=mismatch,
-                         zdrop=zdrop)
+                         zdrop=zdrop, band=w)
     no_right = rlen == 0
     ext_r = out_r["score"] > score_l
     loc_r = jnp.maximum(out_r["score"], score_l)

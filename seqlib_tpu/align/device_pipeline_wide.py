@@ -352,7 +352,7 @@ def extend_chains_wide(text_w, reads, lens, b_idx, aq, alen,
     out_l = ext(q_l, lq, t_l, wl, h0,
                 o_del=o_del, e_del=e_del, o_ins=o_ins,
                 e_ins=e_ins, match=match, mismatch=mismatch,
-                zdrop=zdrop)
+                zdrop=zdrop, band=w)
     no_left = lq == 0
     ext_l = out_l["score"] > h0
     loc_l = jnp.maximum(out_l["score"], h0)
@@ -389,7 +389,7 @@ def extend_chains_wide(text_w, reads, lens, b_idx, aq, alen,
     out_r = ext(q_r, rlen, t_r, wr, score_l.astype(jnp.int32),
                 o_del=o_del, e_del=e_del, o_ins=o_ins,
                 e_ins=e_ins, match=match, mismatch=mismatch,
-                zdrop=zdrop)
+                zdrop=zdrop, band=w)
     no_right = rlen == 0
     ext_r = out_r["score"] > score_l
     loc_r = jnp.maximum(out_r["score"], score_l)

@@ -375,6 +375,86 @@ def extend_batch_pallas_banded(query, qlen, target, tlen, h0,
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
                                              "e_ins", "match", "mismatch",
+                                             "zdrop", "band", "w1",
+                                             "rerun_cap", "interpret"))
+def extend_batch_adaptive(query, qlen, target, tlen, h0,
+                          o_del: int = 6, e_del: int = 1,
+                          o_ins: int = 6, e_ins: int = 1,
+                          match: int = 1, mismatch: int = 4,
+                          zdrop: int = 0, band: int = 100,
+                          w1: int = 32, rerun_cap: int = 256,
+                          interpret: bool = False):
+    """Adaptive-band extension: bit-equal to ``extend_batch(band=band)``
+    at a fraction of the computed cells (ksw_extend's band-trimming
+    idea mapped to a lockstep batch).
+
+    Pass 1 runs the narrow band ``w1``.  A lane is PROVABLY
+    band-invariant when its pass-1 score exceeds the upper bound of
+    any path that leaves the narrow band:
+
+        UB = h0 + match*qlen - min(o_del + e_del*(w1+1),
+                                   o_ins + e_ins*(w1+1))
+
+    (leaving the band needs a net gap > w1, whose cheapest affine cost
+    is one gap of length w1+1; every path scores at most h0 +
+    match*qlen before gap penalties).  ``score > UB`` strictly rules
+    out both better AND equal-scoring out-of-band paths, so score,
+    qle, tle are exact; the same test on gscore pins gscore/gtle.
+    Empty lanes (qlen == 0) are trivially exact.
+
+    Failing lanes are COMPACTED (up to ``rerun_cap``) into a narrow
+    second pass at the full band; if more than rerun_cap lanes fail,
+    the whole batch reruns at the full band (lax.cond — only the
+    taken branch executes).
+    """
+    if band <= w1:
+        return extend_batch_pallas_banded(
+            query, qlen, target, tlen, h0, o_del=o_del, e_del=e_del,
+            o_ins=o_ins, e_ins=e_ins, match=match, mismatch=mismatch,
+            zdrop=zdrop, band=band, interpret=interpret)
+    kw = dict(o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+              match=match, mismatch=mismatch, zdrop=zdrop,
+              interpret=interpret)
+    r1 = extend_batch_pallas_banded(query, qlen, target, tlen, h0,
+                                    band=w1, **kw)
+    gap_pen = min(o_del + e_del * (w1 + 1), o_ins + e_ins * (w1 + 1))
+    ub = h0.astype(jnp.int32) + match * qlen.astype(jnp.int32) - gap_pen
+    ok = ((r1["score"] > ub) & (r1["gscore"] > ub)) | (qlen == 0)
+    B = query.shape[0]
+    n_bad = jnp.sum((~ok).astype(jnp.int32))
+
+    def rerun_compact(_):
+        K = min(rerun_cap, B)
+        dst = jnp.cumsum((~ok).astype(jnp.int32)) - 1
+        sel = (~ok) & (dst < K)
+        scat = jnp.where(sel, dst, K)
+        idx = jnp.zeros(K, jnp.int32).at[scat].set(
+            jnp.arange(B, dtype=jnp.int32), mode="drop")
+        r2 = extend_batch_pallas_banded(
+            query[idx], qlen[idx], target[idx], tlen[idx], h0[idx],
+            band=band, **kw)
+        out = {}
+        for k in r1:
+            upd = jnp.asarray(r1[k]).at[idx].set(r2[k])
+            out[k] = jnp.where(ok, r1[k], upd)
+        return out
+
+    def rerun_full(_):
+        return extend_batch_pallas_banded(query, qlen, target, tlen,
+                                          h0, band=band, **kw)
+
+    def keep(_):
+        return {k: jnp.asarray(v) for k, v in r1.items()}
+
+    return jax.lax.cond(
+        n_bad == 0, keep,
+        lambda _: jax.lax.cond(n_bad <= min(rerun_cap, B),
+                               rerun_compact, rerun_full, None),
+        None)
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins", "match", "mismatch",
                                              "zdrop", "interpret"))
 def extend_batch_pallas(query, qlen, target, tlen, h0,
                         o_del: int = 6, e_del: int = 1,
