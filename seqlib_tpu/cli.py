@@ -189,7 +189,11 @@ def run_align(args) -> None:
 
 
 def _run_align_paired(args) -> None:
-    from .align.pairing import pair_up
+    """Full paired-end pipeline: per-batch insert-size inference +
+    mem_matesw-style mate rescue + proper-pair bounds
+    (align.pairing.align_pairs — the behaviour the reference's own
+    fixtures get from paired `bwa mem`, tests/data/wgsim.sh:32-36)."""
+    from .align.pairing import align_pairs
     r1 = list(FastqReader(args.infasta))
     r2 = list(FastqReader(args.infasta2))
     if len(r1) != len(r2):
@@ -203,15 +207,15 @@ def _run_align_paired(args) -> None:
     w.write_header()
     B = 512
     n = 0
+    stats = None
+    rescue_capable = hasattr(aln, "text")   # sharded: flags only
     for i in range(0, len(r1), B):
-        out1 = aln.align_batch([u.seq for u in r1[i:i + B]],
-                               [u.name for u in r1[i:i + B]])
-        out2 = aln.align_batch([u.seq for u in r2[i:i + B]],
-                               [u.name for u in r2[i:i + B]])
+        out1, out2, stats = align_pairs(
+            aln, [u.seq for u in r1[i:i + B]],
+            [u.seq for u in r2[i:i + B]],
+            [u.name for u in r1[i:i + B]],
+            stats=stats, rescue=rescue_capable)
         for recs1, recs2 in zip(out1, out2):
-            mark_supplementary(recs1)
-            mark_supplementary(recs2)
-            pair_up(recs1, recs2)
             for r in recs1 + recs2:
                 w.write_record(r)
                 n += 1

@@ -180,6 +180,103 @@ def extend_batch(query: jax.Array, qlen: jax.Array,
                 gscore=gscore, gtle=gtle)
 
 
+def _local_pass(query, qlen, target, tlen, o_del, e_del, o_ins, e_ins,
+                match, mismatch):
+    """One local-SW forward pass: best (score, end_i, end_j) per lane.
+
+    H(i,j) = max(0, H(i-1,j-1)+sub, E(i,j), F(i,j)) — the textbook
+    Smith-Waterman recurrence (ksw_align's core, used by the reference
+    through mem_matesw's mate rescue).  Ties keep the smallest end_i,
+    then the smallest end_j."""
+    B, Lq = query.shape
+    _, Lt = target.shape
+    jt = jnp.arange(Lt + 1, dtype=jnp.int32)
+    trow = target.astype(jnp.int32)
+    tmask = (jt[None, :] <= tlen[:, None]) & (jt[None, :] > 0)
+
+    zero_row = jnp.zeros((B, Lt + 1), jnp.int32)
+    neg_row = jnp.full((B, Lt + 1), NEG, jnp.int32)
+
+    def body(i, st):
+        h_prev, f_prev, best = st
+        qi = query[:, i].astype(jnp.int32)
+        is_match = (trow == qi[:, None]) & (trow < 4) & (qi[:, None] < 4)
+        sub = jnp.where(is_match, match, -mismatch)
+        M = h_prev[:, :-1] + sub
+        F = jnp.maximum(h_prev - (o_ins + e_ins), f_prev - e_ins)
+        hnd = jnp.concatenate(
+            [neg_row[:, :1], jnp.maximum(M, F[:, 1:])], axis=1)
+        E = _row_scan_E(hnd, o_del, e_del)
+        h = jnp.maximum(jnp.maximum(hnd, E), 0)
+        h = jnp.where(tmask, h, 0)
+        active = (i < qlen)[:, None]
+        h = jnp.where(active, h, h_prev)
+        f = jnp.where(active, F, f_prev)
+        # pack (score, -i, -j): max keeps the highest score, then the
+        # SMALLEST i, then the smallest j.  9+11+11 = 31 bits: needs
+        # score < 512 and Lq, Lt < 2048 (asserted by the caller).
+        hp = jnp.minimum(jnp.where(active & tmask, h, 0), 511)
+        pack = (hp << 22) | ((2047 - i) << 11) | (2047 - jt[None, :])
+        best = jnp.maximum(best, jnp.max(pack, axis=1))
+        return h, f, best
+
+    _, _, best = jax.lax.fori_loop(
+        0, Lq, body, (zero_row, neg_row, jnp.zeros(B, jnp.int32)))
+    score = best >> 22
+    ei = 2047 - ((best >> 11) & 0x7FF)
+    ej = 2047 - (best & 0x7FF)
+    found = score > 0
+    return (jnp.where(found, score, 0),
+            jnp.where(found, ei + 1, 0),      # query end (exclusive)
+            jnp.where(found, ej, 0))          # target end (exclusive)
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins", "match", "mismatch"))
+def local_batch(query: jax.Array, qlen: jax.Array,
+                target: jax.Array, tlen: jax.Array,
+                o_del: int = 6, e_del: int = 1,
+                o_ins: int = 6, e_ins: int = 1,
+                match: int = 1, mismatch: int = 4):
+    """Batched local Smith-Waterman: score + [qb, qe) x [tb, te).
+
+    Two passes: the forward pass finds the best end cell; the same DP
+    over the reversed prefixes finds the start (the standard two-pass
+    local-alignment trick).  Scores must fit 6 bits of headroom
+    (score < 2^5 * 2^... — packed as score << 26, so score < 32
+    * 1024; reads up to ~2 kb at match=1 are fine).
+
+    Role: ksw_align for mem_matesw-style mate rescue
+    (/root/reference's vendored bwa, submodule absent — semantics
+    reconstructed; see align/pairing.py).
+
+    Packing caps (asserted): Lq, Lt < 2048 and scores clamp at 511 —
+    ample for read-vs-isize-window rescue."""
+    B, Lq = query.shape
+    _, Lt = target.shape
+    assert Lq < 2048 and Lt < 2048, "local_batch: pack caps"
+    score, qe, te = _local_pass(query, qlen, target, tlen,
+                                o_del, e_del, o_ins, e_ins,
+                                match, mismatch)
+    # reversed prefixes: q_rev[k] = q[qe-1-k] (k < qe), t_rev likewise
+    kq = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    qr = jnp.take_along_axis(
+        query.astype(jnp.int32), jnp.clip(qe[:, None] - 1 - kq, 0, Lq - 1),
+        axis=1)
+    qr = jnp.where(kq < qe[:, None], qr, 4).astype(query.dtype)
+    kt = jnp.arange(Lt, dtype=jnp.int32)[None, :]
+    tr = jnp.take_along_axis(
+        target.astype(jnp.int32),
+        jnp.clip(te[:, None] - 1 - kt, 0, Lt - 1), axis=1)
+    tr = jnp.where(kt < te[:, None], tr, 4).astype(target.dtype)
+    score2, qspan, tspan = _local_pass(qr, qe, tr, te,
+                                       o_del, e_del, o_ins, e_ins,
+                                       match, mismatch)
+    qb = qe - qspan
+    tb = te - tspan
+    return dict(score=score, qb=qb, qe=qe, tb=tb, te=te)
+
+
 # direction bits for global traceback
 DIR_M, DIR_E, DIR_F = 0, 1, 2       # H source: diag / left(D) / up(I)
 BIT_EEXT, BIT_FEXT = 4, 8
