@@ -162,8 +162,16 @@ def main():
 
     rate(extend_batch, "xla")
     if jax.default_backend() != "cpu":
-        from seqlib_tpu.ops.sw_pallas import extend_batch_pallas
+        from seqlib_tpu.ops.sw_pallas import (extend_batch_pallas,
+                                              extend_batch_pallas_banded)
+        # rectangle kernel: continuity metric (guarded in check.sh)
         gcups_dev = rate(extend_batch_pallas, "pallas, production")
+        # banded kernel at bwa's band (the r5 production semantics):
+        # rect-equivalent throughput, i.e. same numerator so the
+        # numbers compare directly — it computes 1.49x fewer cells
+        rate(lambda *a, **k: extend_batch_pallas_banded(*a, band=100,
+                                                        **k),
+             "pallas, banded w=100, rect-equivalent")
     else:
         gcups_dev = gcups
 

@@ -360,6 +360,125 @@ class BWAAligner:
                 regions[b] = self._dedup_and_mark(regions[b])
         return regions
 
+    # ------------------------------------------------------------------
+    # long-read path (> LONG_READ_BP): device seeding + host chaining
+    # ------------------------------------------------------------------
+
+    LONG_READ_BP = 1024   # fused-path packed chain keys cap reads here
+
+    def _collect_regions_long(self, enc: np.ndarray, lens: np.ndarray
+                              ) -> list[list[AlnReg]]:
+        """Region generation for reads beyond the fused path's packed
+        chain-sort caps (1024 bp query keys): device seed scan + SA
+        locate, HOST chaining (int64 numpy, no length caps,
+        align/chain.chain_batch), then the banded device extension.
+        The reference aligns arbitrary-length queries through this
+        same structure (assembled contigs are realigned via
+        alignSequence — /root/reference/src/seqtools/seqtools.cpp:
+        161-189); records downstream share _regions_to_hits /
+        _assemble_records with the short path."""
+        from .chain import chain_batch
+        from .device_pipeline import extend_chains, seed_and_locate
+        from .device_pipeline_wide import (extend_chains_wide,
+                                           seed_and_locate_wide)
+        opt = self.options
+        B, L = enc.shape
+        lens32 = lens.astype(np.int32)
+        # more seed slots: a mutated multi-kb query emits ~one SMEM
+        # per error
+        max_seeds = max(64, min(256, L // 32))
+        kw = dict(max_seeds=max_seeds, min_seed_len=opt.min_seed_len,
+                  max_occ=opt.max_occ, k_occ=MAX_OCC_LOCATE,
+                  split_len=opt.split_len, split_width=opt.split_width,
+                  max_mem_intv=opt.max_mem_intv)
+        if self.wide:
+            s1 = seed_and_locate_wide(self.fm, jnp.asarray(enc),
+                                      jnp.asarray(lens32), **kw)
+            pos = np.asarray(s1["pos_h"]).astype(np.int64) \
+                * (1 << LO_BITS) + np.asarray(s1["pos_l"])
+            pos[np.asarray(s1["pos_h"]) < 0] = -1
+        else:
+            s1 = seed_and_locate(self.fm, jnp.asarray(enc),
+                                 jnp.asarray(lens32), **kw)
+            pos = np.asarray(s1["pos"]).astype(np.int64)
+        qb_all = np.asarray(s1["qbeg"])
+        qe_all = np.asarray(s1["qend"])
+        Bv, S1, K = pos.shape
+        l_pac = self.index.l_pac
+        rid = np.repeat(np.arange(Bv, dtype=np.int32)[:, None],
+                        S1 * K, axis=1).reshape(-1)
+        oqb = np.repeat(qb_all[:, :, None], K, axis=2).reshape(-1)
+        oqe = np.repeat(qe_all[:, :, None], K, axis=2).reshape(-1)
+        op = pos.reshape(-1)
+        olen = (oqe - oqb).astype(np.int64)
+        val = (op >= 0) & ~((op < l_pac) & (op + olen > l_pac))
+        ch = chain_batch(rid[val], oqb[val].astype(np.int64),
+                         oqe[val].astype(np.int64), op[val],
+                         l_pac=l_pac, band=opt.w,
+                         max_chain_gap=opt.max_chain_gap,
+                         drop_ratio=opt.drop_ratio,
+                         max_chains=MAX_CHAINS)
+        n = ch["read"].size
+        regions: list[list[AlnReg]] = [[] for _ in range(B)]
+        if not n:
+            return regions
+        M = _bucket(n)
+        b_idx = np.full(M, -1, np.int32)
+        aq = np.zeros(M, np.int32)
+        alen = np.zeros(M, np.int32)
+        b_idx[:n] = ch["read"]
+        aq[:n] = ch["anchor_q"]
+        alen[:n] = ch["anchor_len"]
+        common = dict(
+            l_pac=l_pac, o_del=opt.o_del, e_del=opt.e_del,
+            o_ins=opt.o_ins, e_ins=opt.e_ins, match=opt.a,
+            mismatch=opt.b, pen_clip5=opt.pen_clip5,
+            pen_clip3=opt.pen_clip3, w=opt.w, zdrop=opt.zdrop)
+        if self.wide:
+            ar64 = np.zeros(M, np.int64)
+            ar64[:n] = ch["anchor_r"]
+            res = extend_chains_wide(
+                self.text_j, jnp.asarray(enc), jnp.asarray(lens32),
+                jnp.asarray(b_idx), jnp.asarray(aq), jnp.asarray(alen),
+                jnp.asarray((ar64 >> LO_BITS).astype(np.int32)),
+                jnp.asarray((ar64 & ((1 << LO_BITS) - 1))
+                            .astype(np.int32)), **common)
+            eqb, eqe, rbh, rbl, reh, rel, esc = jax.device_get(res)
+            erb = rbh.astype(np.int64) * (1 << LO_BITS) + rbl
+            ere = reh.astype(np.int64) * (1 << LO_BITS) + rel
+        else:
+            ar = np.zeros(M, np.int32)
+            ar[:n] = ch["anchor_r"]
+            res = extend_chains(
+                self.text_j, jnp.asarray(enc), jnp.asarray(lens32),
+                jnp.asarray(b_idx), jnp.asarray(aq), jnp.asarray(alen),
+                jnp.asarray(ar), **common)
+            eqb, eqe, erb, ere, esc = jax.device_get(res)
+        frac_reps = np.asarray(s1["rep_cov"]) / np.maximum(lens, 1)
+        for k in range(n):
+            b = int(ch["read"][k])
+            regions[b].append(AlnReg(
+                int(erb[k]), int(ere[k]), int(eqb[k]), int(eqe[k]),
+                int(esc[k]), int(ch["weight"][k]),
+                float(frac_reps[b])))
+        for b in range(B):
+            regions[b] = self._dedup_and_mark(regions[b])
+        return regions
+
+    def _align_batch_long(self, seqs, names, hardclip, keep_sec_frac,
+                          max_secondary):
+        enc, lens = self._encode_batch(seqs)
+        B = len(seqs)
+        regions = self._collect_regions_long(enc, lens)[:B]
+        if keep_sec_frac < 0.0 or keep_sec_frac > 1.0:
+            regions = [[r for r in rs if r.secondary < 0]
+                       for rs in regions]
+        hits = self._regions_to_hits(enc, lens, names, seqs, regions)
+        return [self._assemble_records(seqs[b], names[b], hits[b],
+                                       hardclip, keep_sec_frac,
+                                       max_secondary)
+                for b in range(B)]
+
     def _extend_uncompacted(self, enc, lens, out):
         """Overflow fallback: extend every kept chain in a standalone
         dispatch (no DP-slot cap).  Exact same arithmetic as the fused
@@ -1182,6 +1301,13 @@ class BWAAligner:
         B = len(seqs)
         if B == 0:
             return []
+        if max(len(s) for s in seqs) > self.LONG_READ_BP \
+                and type(self) is BWAAligner:
+            # long queries (assembled contigs via the fml path etc.)
+            # exceed the fused pipeline's packed chain keys: route
+            # through the host-chained long path
+            return self._align_batch_long(seqs, names, hardclip,
+                                          keep_sec_frac, max_secondary)
         enc, lens = self._encode_batch(seqs)
         if self.mesh is None and type(self) is BWAAligner:
             res = self._dispatch_full(enc, lens)
