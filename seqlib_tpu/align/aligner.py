@@ -52,6 +52,8 @@ from .options import AlignerOptions
 MAX_SEEDS = 16          # per read from the seed scan
 MAX_OCC_LOCATE = 16     # occurrences located per seed
 MAX_CHAINS = 4          # chains extended per read
+from .device_pipeline import ESC_SLOTS
+REGION_SLOTS = MAX_CHAINS + ESC_SLOTS   # + per-seed second-ext slots
 MAX_REGS = 8            # alignment regions kept per read
 
 
@@ -208,7 +210,8 @@ class BWAAligner:
         self.stats = dict(seeds_at_cap=0, occ_clipped=0,
                           chains_at_cap=0, regs_truncated=0,
                           regions_widened=0, regions_dropped_wide=0,
-                          fused_overflow_fallback=0)
+                          fused_overflow_fallback=0,
+                          escapees_deferred=0)
         self._names_cache: list[str] | None = None
         self._ann_offs = np.array([a.offset for a in index.ref.anns],
                                   dtype=np.int64)
@@ -330,7 +333,7 @@ class BWAAligner:
             stage1 = self._dispatch_stage1(
                 jnp.asarray(enc), jnp.asarray(lens.astype(np.int32)))
         unpack = unpack_stage1_wide if self.wide else unpack_stage1
-        out = unpack(np.asarray(stage1), MAX_CHAINS)
+        out = unpack(np.asarray(stage1), REGION_SLOTS)
         frac_reps = out["rep_cov"] / np.maximum(lens, 1)
         keep = out["keep"]
         qb, qe = out["qb"], out["qe"]
@@ -349,6 +352,8 @@ class BWAAligner:
         self.stats["occ_clipped"] += int(np.sum(out["occ_clip"][:B]))
         self.stats["chains_at_cap"] += int(
             np.sum(out["n_seg"][:B] > MAX_CHAINS))
+        self.stats["escapees_deferred"] += int(
+            np.sum(out["esc_over"][:B]))
         regions: list[list[AlnReg]] = [[] for _ in range(B)]
         for b, c in zip(*np.nonzero(keep)):
             regions[b].append(AlnReg(
@@ -867,7 +872,7 @@ class BWAAligner:
         snm = np.asarray(res[1])
         packed = np.asarray(res[2])
         B = enc.shape[0]
-        C = MAX_CHAINS
+        C = REGION_SLOTS
         if self.wide:
             # join the (hi, lo) rb/re planes into the int32 layout's
             # 10-field order, widened to int64 (the vectorized math
@@ -890,6 +895,8 @@ class BWAAligner:
         self.stats["seeds_at_cap"] += int(regions[:, extra0 + 3].sum())
         self.stats["chains_at_cap"] += int(
             (regions[:, extra0 + 4] > MAX_CHAINS).sum())
+        self.stats["escapees_deferred"] += int(
+            regions[:, extra0 + 7].sum())
         # extension-stage DP slot overflow: the fused program's
         # compacted extension dropped chains; redo the batch through
         # the classic (uncompacted-capable) path

@@ -126,8 +126,8 @@ def align_full(fm, text, enc_lens, l_pac: int,
     """enc_lens: uint8 [B, L+4] — nt4 codes with the read length packed
     little-endian into the last 4 columns (single upload buffer).
 
-    Returns (regions int32 [B, C*NFIELD + 6], snm int32 [M2, 2],
-    ops uint8 [M2, Tp]).
+    Returns (regions int32 [B, S*NFIELD + 8] with S = max_chains+1
+    region slots, snm int32 [M2, 2], ops uint8 [M2, Tp]).
     """
     B = enc_lens.shape[0]
     L = enc_lens.shape[1] - 4
@@ -146,8 +146,8 @@ def align_full(fm, text, enc_lens, l_pac: int,
         min_chain_weight=min_chain_weight,
         max_chain_extend=max_chain_extend,
         max_mem_intv=max_mem_intv)
-    C = max_chains
-    valid0 = out["keep"]
+    C = out["keep"].shape[1]       # max_chains + the per-seed
+    valid0 = out["keep"]           # second-extension slot
     qb0, qe0 = out["qb"], out["qe"]
     rb0, re0 = out["rb"], out["re"]
     sc0 = out["score"]
@@ -282,6 +282,7 @@ def align_full(fm, text, enc_lens, l_pac: int,
         jnp.broadcast_to(g_n, (B,)).astype(jnp.int32),
         jnp.broadcast_to(out["n_dp"].reshape(-1)[:1], (B,)
                          ).astype(jnp.int32),           # ext DP slots used
+        out["esc_over"].astype(jnp.int32),
     ], axis=1)
     regions = jnp.concatenate(
         [fields.reshape(B, C * NFIELD), extra], axis=1)

@@ -93,7 +93,7 @@ def align_full_wide(fm, text_w, enc_lens, l_pac: int,
         min_chain_weight=min_chain_weight,
         max_chain_extend=max_chain_extend,
         max_mem_intv=max_mem_intv)
-    C = max_chains
+    C = out["keep"].shape[1]       # max_chains + second-ext slot
     valid0 = out["keep"]
     qb0, qe0 = out["qb"], out["qe"]
     rbh0, rbl0 = out["rb_h"], out["rb_l"]
@@ -240,6 +240,7 @@ def align_full_wide(fm, text_w, enc_lens, l_pac: int,
         jnp.broadcast_to(g_n, (B,)).astype(jnp.int32),
         jnp.broadcast_to(out["n_dp"].reshape(-1)[:1], (B,)
                          ).astype(jnp.int32),
+        out["esc_over"].astype(jnp.int32),
     ], axis=1)
     regions = jnp.concatenate(
         [fields.reshape(B, C * NFIELD_W), extra], axis=1)

@@ -46,6 +46,10 @@ def _extend_impl():
 
 OP_M, OP_D, OP_I, OP_NONE = 0, 1, 2, 3
 
+# per-seed second-extension slots appended to the max_chains region
+# slots (mem_chain2aln's seed loop, distinct-query-start candidates)
+ESC_SLOTS = 3
+
 
 def dp_rows(B: int) -> int:
     """Compacted DP-row budget for a batch of B reads.  Measured on
@@ -397,11 +401,121 @@ def seed_chain_extend(fm: DeviceFMIndex, text, reads, lens,
     rb = pick(drb, ar)
     re = pick(dre, ar + alen)
     score = pick(dscore, alen * match)
+
+    # ---- mem_chain2aln's per-seed loop (second extension): bwa
+    # extends EVERY seed of a chain that is not contained in an
+    # already-produced region (the containment `continue`).  Fixed
+    # shape approximation: ONE extra extension per read, from the
+    # longest located occurrence that (a) belongs to the best
+    # region's merged chain (diagonal within band, same strand
+    # half) and (b) escapes that region's query x ref span.  Reads
+    # with further escapees are counted in esc_over, never silent.
+    bsel = jnp.argmax(jnp.where(keep, score, -1), axis=1)
+    def col(x):
+        return jnp.take_along_axis(x, bsel[:, None], axis=1)[:, 0]
+    qb1, qe1 = col(qb), col(qe)
+    rb1, re1 = col(rb), col(re)
+    diag1 = col(ar) - col(aq)
+    has_best = jnp.any(keep & (score > 0), axis=1)
+    qbs, qes = s1["qbeg"], s1["qend"]
+    posg = s1["pos"]
+    S1k = posg.shape[1] * posg.shape[2]
+    olen3 = (qes - qbs)[:, :, None]
+    same_half = (posg >= l_pac) == (rb1[:, None, None] >= l_pac)
+    candv = (posg >= 0) & (olen3 > 0) & same_half \
+        & (jnp.abs((posg - qbs[:, :, None])
+                   - diag1[:, None, None]) <= w) \
+        & ~((posg < l_pac) & (posg + olen3 > l_pac))
+    contained = (qbs[:, :, None] >= qb1[:, None, None]) \
+        & (qes[:, :, None] <= qe1[:, None, None]) \
+        & (posg >= rb1[:, None, None]) \
+        & (posg + olen3 <= re1[:, None, None])
+    esc = candv & ~contained & has_best[:, None, None]
+    escf = esc.reshape(B, S1k)
+    olenf = jnp.broadcast_to(olen3, posg.shape).reshape(B, S1k)
+    qbf = jnp.broadcast_to(qbs[:, :, None], posg.shape).reshape(B, S1k)
+    posf = posg.reshape(B, S1k)
+    pkf = jnp.where(escf, (olenf << 10) | (1023 - qbf), 0)
+    # top-E candidates with DISTINCT query starts (a tandem read's
+    # escaped copies of ONE seed share qb; the seed that rescues the
+    # optimum is usually a different query piece)
+    E = ESC_SLOTS
+    cand_has, cand_aq, cand_alen, cand_ar = [], [], [], []
+    pk_cur = pkf
+    for _ in range(E):
+        jx = jnp.argmax(pk_cur, axis=1)
+        val = jnp.take_along_axis(pk_cur, jx[:, None], 1)[:, 0]
+        h_e = val > 0
+        aq_e = jnp.take_along_axis(qbf, jx[:, None], 1)[:, 0]
+        cand_has.append(h_e)
+        cand_aq.append(jnp.where(h_e, aq_e, 0))
+        cand_alen.append(jnp.where(
+            h_e, jnp.take_along_axis(olenf, jx[:, None], 1)[:, 0], 0))
+        cand_ar.append(jnp.where(
+            h_e, jnp.take_along_axis(posf, jx[:, None], 1)[:, 0], 0))
+        pk_cur = jnp.where(qbf == aq_e[:, None], 0, pk_cur)
+    left_over = jnp.any(pk_cur > 0, axis=1)
+    hasx = jnp.stack(cand_has, axis=1)            # [B, E]
+    x_aq = jnp.stack(cand_aq, axis=1)
+    x_alen = jnp.stack(cand_alen, axis=1)
+    x_ar = jnp.stack(cand_ar, axis=1)
+    M3 = max(B, 64)
+    hf = hasx.reshape(-1)
+    dstx = jnp.cumsum(hf.astype(jnp.int32)) - 1
+    okx = hf & (dstx < M3)
+    scx = jnp.where(okx, dstx, M3)
+    src_be = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, E)).reshape(-1)
+    bx = jnp.full(M3, -1, jnp.int32).at[scx].set(src_be, mode="drop")
+    aqx = jnp.zeros(M3, jnp.int32).at[scx].set(
+        x_aq.reshape(-1), mode="drop")
+    alx = jnp.zeros(M3, jnp.int32).at[scx].set(
+        x_alen.reshape(-1), mode="drop")
+    arx = jnp.zeros(M3, jnp.int32).at[scx].set(
+        x_ar.reshape(-1), mode="drop")
+
+    # escapees are RARE outside adversarial repeat corpora: the whole
+    # second extension runs under a cond so clean batches skip it
+    def run_x(_):
+        return extend_chains(
+            text, reads, lens, bx, aqx, alx, arx, l_pac=l_pac,
+            o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+            match=match, mismatch=mismatch,
+            pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w,
+            zdrop=zdrop)
+
+    def skip_x(_):
+        z = jnp.zeros(M3, jnp.int32)
+        return z, z, z, z, z
+
+    xqb, xqe, xrb, xre, xsc = jax.lax.cond(
+        jnp.any(hf), run_x, skip_x, None)
+    gx = jnp.clip(dstx, 0, M3 - 1)
+    okg2 = okx.reshape(B, E)
+
+    def back(dp):
+        return jnp.where(okg2, dp[gx].reshape(B, E), 0) \
+            .astype(jnp.int32)
+
+    esc_over = (hf & ~okx).reshape(B, E).sum(axis=1).astype(jnp.int32) \
+        + left_over.astype(jnp.int32)
+
+    qb = jnp.concatenate([qb, back(xqb)], axis=1)
+    qe = jnp.concatenate([qe, back(xqe)], axis=1)
+    rb = jnp.concatenate([rb, back(xrb)], axis=1)
+    re = jnp.concatenate([re, back(xre)], axis=1)
+    score = jnp.concatenate([score, back(xsc)], axis=1)
+    weight = jnp.concatenate(
+        [ch["weight"], jnp.where(okg2, x_alen, 0)], axis=1)
+    keep = jnp.concatenate([keep, okg2], axis=1)
+    aq = jnp.concatenate([aq, jnp.where(okg2, x_aq, 0)], axis=1)
+    alen = jnp.concatenate([alen, jnp.where(okg2, x_alen, 0)], axis=1)
+    ar = jnp.concatenate([ar, jnp.where(okg2, x_ar, 0)], axis=1)
     return dict(qb=qb, qe=qe, rb=rb, re=re, score=score,
-                weight=ch["weight"], keep=keep, rep_cov=s1["rep_cov"],
+                weight=weight, keep=keep, rep_cov=s1["rep_cov"],
                 n_dp=n_dp, anchor_q=aq, anchor_len=alen, anchor_r=ar,
                 occ_clip=s1["occ_clip"], seeds_full=s1["seeds_full"],
-                n_seg=ch["n_seg"])
+                n_seg=ch["n_seg"], esc_over=esc_over)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -619,13 +733,14 @@ def global_and_traceback(q, ql, t, tl,
 def seed_chain_extend_packed(fm: DeviceFMIndex, text, reads, lens,
                              l_pac: int, **kw):
     """seed_chain_extend with every output packed into ONE int32
-    tensor [B, 10*C + 5] — a single device->host fetch.  Through a
-    remote device link (axon tunnel) each fetched buffer is a round
-    trip, which dominated e2e wall time at ~15 buffers per batch.
+    tensor [B, 10*S + 6] (S = max_chains + 1 region slots) — a single
+    device->host fetch.  Through a remote device link (axon tunnel)
+    each fetched buffer is a round trip, which dominated e2e wall
+    time at ~15 buffers per batch.
 
     Column layout: qb, qe, rb, re, score, weight, keep, anchor_q,
-    anchor_len, anchor_r (C columns each), then rep_cov, n_dp,
-    occ_clip, seeds_full, n_seg (1 column each).
+    anchor_len, anchor_r (S columns each), then rep_cov, n_dp,
+    occ_clip, seeds_full, n_seg, esc_over (1 column each).
     """
     out = seed_chain_extend(fm, text, reads, lens, l_pac=l_pac, **kw)
     B = reads.shape[0]
@@ -634,22 +749,23 @@ def seed_chain_extend_packed(fm: DeviceFMIndex, text, reads, lens,
     cols.append(out["keep"].astype(jnp.int32))
     cols += [out[k].astype(jnp.int32) for k in
              ("anchor_q", "anchor_len", "anchor_r")]
-    ones = [out[k].astype(jnp.int32).reshape(B, -1)[:, :1] if out[k].ndim
-            else jnp.full((B, 1), out[k], jnp.int32) for k in ()]
     extra = jnp.stack([
         out["rep_cov"].astype(jnp.int32),
         jnp.broadcast_to(out["n_dp"].astype(jnp.int32).reshape(-1)[:1],
                          (B,)),
         out["occ_clip"].astype(jnp.int32),
         out["seeds_full"].astype(jnp.int32),
-        out["n_seg"].astype(jnp.int32)], axis=1)
+        out["n_seg"].astype(jnp.int32),
+        out["esc_over"].astype(jnp.int32)], axis=1)
     return jnp.concatenate(cols + [extra], axis=1)
 
 
-def unpack_stage1(arr, max_chains: int):
-    """Host-side inverse of seed_chain_extend_packed (numpy)."""
+def unpack_stage1(arr, n_slots: int):
+    """Host-side inverse of seed_chain_extend_packed (numpy).
+    ``n_slots`` = region slots per read (max_chains + 1: the chains
+    plus the per-seed second-extension slot)."""
     import numpy as np
-    C = max_chains
+    C = n_slots
     names = ("qb", "qe", "rb", "re", "score", "weight", "keep",
              "anchor_q", "anchor_len", "anchor_r")
     out = {}
@@ -661,6 +777,7 @@ def unpack_stage1(arr, max_chains: int):
     out["occ_clip"] = arr[:, base + 2]
     out["seeds_full"] = arr[:, base + 3]
     out["n_seg"] = arr[:, base + 4]
+    out["esc_over"] = arr[:, base + 5]
     out["keep"] = out["keep"].astype(bool)
     return out
 

@@ -491,13 +491,137 @@ def seed_chain_extend_wide(fm: DeviceFMIndexHiLo, text_w, reads, lens,
     re_h = pick(dreh, ae_h)
     re_l = pick(drel, ae_l)
     score = pick(dscore, alen * match)
+
+    # ---- per-seed second extension (escape rescue; see the int32
+    # twin's comment) with (hi, lo) position algebra ----------------
+    lp_h = np.int32(l_pac >> LO_BITS)
+    lp_l = np.int32(l_pac & ((1 << LO_BITS) - 1))
+    bsel = jnp.argmax(jnp.where(keep, score, -1), axis=1)
+
+    def colv(x):
+        return jnp.take_along_axis(x, bsel[:, None], axis=1)[:, 0]
+
+    qb1, qe1 = colv(qb), colv(qe)
+    rb1h, rb1l = colv(rb_h), colv(rb_l)
+    re1h, re1l = colv(re_h), colv(re_l)
+    d1h, d1l = hl_sub(colv(arh), colv(arl),
+                      jnp.zeros_like(qb1), colv(aq))
+    has_best = jnp.any(keep & (score > 0), axis=1)
+    qbs, qes = s1["qbeg"], s1["qend"]
+    ph3, pl3 = s1["pos_h"], s1["pos_l"]
+    S1k = ph3.shape[1] * ph3.shape[2]
+    olen3 = (qes - qbs)[:, :, None]
+    pe3h, pe3l = hl_add_small(ph3, pl3, olen3)
+    on_rev3 = ~hl_lt(ph3, pl3, lp_h, lp_l)
+    rev1 = (~hl_lt(rb1h, rb1l, lp_h, lp_l))[:, None, None]
+    do_h, do_l = hl_sub(ph3, pl3, jnp.zeros_like(ph3),
+                        jnp.broadcast_to(qbs[:, :, None], ph3.shape))
+    dd_h, dd_l = hl_sub(do_h, do_l, d1h[:, None, None],
+                        d1l[:, None, None])
+    # |dd| <= w for a canonical (hi, lo in [0, 2^30)) pair
+    near = ((dd_h == 0) & (dd_l <= w)) \
+        | ((dd_h == -1) & (dd_l >= (1 << LO_BITS) - w))
+    spans_mid3 = hl_lt(ph3, pl3, lp_h, lp_l) \
+        & hl_lt(lp_h, lp_l, pe3h, pe3l)
+    candv = (ph3 >= 0) & (olen3 > 0) & (on_rev3 == rev1) & near \
+        & ~spans_mid3
+    contained = (qbs[:, :, None] >= qb1[:, None, None]) \
+        & (qes[:, :, None] <= qe1[:, None, None]) \
+        & ~hl_lt(ph3, pl3, rb1h[:, None, None], rb1l[:, None, None]) \
+        & ~hl_lt(re1h[:, None, None], re1l[:, None, None], pe3h, pe3l)
+    esc = candv & ~contained & has_best[:, None, None]
+    escf = esc.reshape(B, S1k)
+    olenf = jnp.broadcast_to(olen3, ph3.shape).reshape(B, S1k)
+    qbf = jnp.broadcast_to(qbs[:, :, None], ph3.shape).reshape(B, S1k)
+    phf = ph3.reshape(B, S1k)
+    plf = pl3.reshape(B, S1k)
+    pkf = jnp.where(escf, (olenf << 10) | (1023 - qbf), 0)
+    from .device_pipeline import ESC_SLOTS
+    E = ESC_SLOTS
+    cand_has, cand_aq, cand_alen, cand_arh, cand_arl = \
+        [], [], [], [], []
+    pk_cur = pkf
+    for _ in range(E):
+        jx = jnp.argmax(pk_cur, axis=1)
+        val = jnp.take_along_axis(pk_cur, jx[:, None], 1)[:, 0]
+        h_e = val > 0
+        aq_e = jnp.take_along_axis(qbf, jx[:, None], 1)[:, 0]
+        cand_has.append(h_e)
+        cand_aq.append(jnp.where(h_e, aq_e, 0))
+        cand_alen.append(jnp.where(
+            h_e, jnp.take_along_axis(olenf, jx[:, None], 1)[:, 0], 0))
+        cand_arh.append(jnp.where(
+            h_e, jnp.take_along_axis(phf, jx[:, None], 1)[:, 0], 0))
+        cand_arl.append(jnp.where(
+            h_e, jnp.take_along_axis(plf, jx[:, None], 1)[:, 0], 0))
+        pk_cur = jnp.where(qbf == aq_e[:, None], 0, pk_cur)
+    left_over = jnp.any(pk_cur > 0, axis=1)
+    hasx = jnp.stack(cand_has, axis=1)            # [B, E]
+    x_aq = jnp.stack(cand_aq, axis=1)
+    x_alen = jnp.stack(cand_alen, axis=1)
+    x_arh = jnp.stack(cand_arh, axis=1)
+    x_arl = jnp.stack(cand_arl, axis=1)
+    M3 = max(B, 64)
+    hf = hasx.reshape(-1)
+    dstx = jnp.cumsum(hf.astype(jnp.int32)) - 1
+    okx = hf & (dstx < M3)
+    scx = jnp.where(okx, dstx, M3)
+    src_be = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, E)).reshape(-1)
+    bx = jnp.full(M3, -1, jnp.int32).at[scx].set(src_be, mode="drop")
+    aqx = jnp.zeros(M3, jnp.int32).at[scx].set(
+        x_aq.reshape(-1), mode="drop")
+    alx = jnp.zeros(M3, jnp.int32).at[scx].set(
+        x_alen.reshape(-1), mode="drop")
+    arxh = jnp.zeros(M3, jnp.int32).at[scx].set(
+        x_arh.reshape(-1), mode="drop")
+    arxl = jnp.zeros(M3, jnp.int32).at[scx].set(
+        x_arl.reshape(-1), mode="drop")
+
+    def run_x(_):
+        return extend_chains_wide(
+            text_w, reads, lens, bx, aqx, alx, arxh, arxl,
+            l_pac=l_pac, o_del=o_del, e_del=e_del, o_ins=o_ins,
+            e_ins=e_ins, match=match, mismatch=mismatch,
+            pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w,
+            zdrop=zdrop)
+
+    def skip_x(_):
+        z = jnp.zeros(M3, jnp.int32)
+        return z, z, z, z, z, z, z
+
+    xqb, xqe, xrbh, xrbl, xreh, xrel, xsc = jax.lax.cond(
+        jnp.any(hf), run_x, skip_x, None)
+    gx = jnp.clip(dstx, 0, M3 - 1)
+    okg2 = okx.reshape(B, E)
+
+    def back(dp):
+        return jnp.where(okg2, dp[gx].reshape(B, E), 0) \
+            .astype(jnp.int32)
+
+    qb = jnp.concatenate([qb, back(xqb)], axis=1)
+    qe = jnp.concatenate([qe, back(xqe)], axis=1)
+    rb_h = jnp.concatenate([rb_h, back(xrbh)], axis=1)
+    rb_l = jnp.concatenate([rb_l, back(xrbl)], axis=1)
+    re_h = jnp.concatenate([re_h, back(xreh)], axis=1)
+    re_l = jnp.concatenate([re_l, back(xrel)], axis=1)
+    score = jnp.concatenate([score, back(xsc)], axis=1)
+    weight = jnp.concatenate(
+        [ch["weight"], jnp.where(okg2, x_alen, 0)], axis=1)
+    keep = jnp.concatenate([keep, okg2], axis=1)
+    aq = jnp.concatenate([aq, jnp.where(okg2, x_aq, 0)], axis=1)
+    alen = jnp.concatenate([alen, jnp.where(okg2, x_alen, 0)], axis=1)
+    arh = jnp.concatenate([arh, jnp.where(okg2, x_arh, 0)], axis=1)
+    arl = jnp.concatenate([arl, jnp.where(okg2, x_arl, 0)], axis=1)
+    esc_over = (hf & ~okx).reshape(B, E).sum(axis=1).astype(jnp.int32) \
+        + left_over.astype(jnp.int32)
     return dict(qb=qb, qe=qe, rb_h=rb_h, rb_l=rb_l, re_h=re_h,
                 re_l=re_l, score=score,
-                weight=ch["weight"], keep=keep, rep_cov=s1["rep_cov"],
+                weight=weight, keep=keep, rep_cov=s1["rep_cov"],
                 n_dp=n_dp, anchor_q=aq, anchor_len=alen,
                 anchor_rh=arh, anchor_rl=arl,
                 occ_clip=s1["occ_clip"], seeds_full=s1["seeds_full"],
-                n_seg=ch["n_seg"])
+                n_seg=ch["n_seg"], esc_over=esc_over)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -510,9 +634,10 @@ def seed_chain_extend_wide(fm: DeviceFMIndexHiLo, text_w, reads, lens,
 def seed_chain_extend_packed_wide(fm: DeviceFMIndexHiLo, text_w, reads,
                                   lens, l_pac: int, **kw):
     """Wide twin of ``seed_chain_extend_packed``: ONE int32 tensor
-    [B, 13*C + 5].  Column layout: qb, qe, rb_h, rb_l, re_h, re_l,
-    score, weight, keep, anchor_q, anchor_len, anchor_rh, anchor_rl
-    (C columns each), then rep_cov, n_dp, occ_clip, seeds_full, n_seg.
+    [B, 13*S + 6] (S = max_chains + 1 region slots).  Column layout:
+    qb, qe, rb_h, rb_l, re_h, re_l, score, weight, keep, anchor_q,
+    anchor_len, anchor_rh, anchor_rl (S columns each), then rep_cov,
+    n_dp, occ_clip, seeds_full, n_seg, esc_over.
     """
     out = seed_chain_extend_wide(fm, text_w, reads, lens,
                                  l_pac=l_pac, **kw)
@@ -529,16 +654,18 @@ def seed_chain_extend_packed_wide(fm: DeviceFMIndexHiLo, text_w, reads,
                          (B,)),
         out["occ_clip"].astype(jnp.int32),
         out["seeds_full"].astype(jnp.int32),
-        out["n_seg"].astype(jnp.int32)], axis=1)
+        out["n_seg"].astype(jnp.int32),
+        out["esc_over"].astype(jnp.int32)], axis=1)
     return jnp.concatenate(cols + [extra], axis=1)
 
 
-def unpack_stage1_wide(arr, max_chains: int):
+def unpack_stage1_wide(arr, n_slots: int):
     """Host-side inverse of seed_chain_extend_packed_wide: joins the
     (hi, lo) planes into int64 rb/re/anchor_r — the SAME key set the
     int32 ``unpack_stage1`` returns, so the host aligner is
-    representation-agnostic downstream."""
-    C = max_chains
+    representation-agnostic downstream.  ``n_slots`` = max_chains
+    + 1 (the per-seed second-extension slot)."""
+    C = n_slots
     names = ("qb", "qe", "rb_h", "rb_l", "re_h", "re_l", "score",
              "weight", "keep", "anchor_q", "anchor_len", "anchor_rh",
              "anchor_rl")
@@ -563,5 +690,6 @@ def unpack_stage1_wide(arr, max_chains: int):
         "occ_clip": arr[:, base + 2],
         "seeds_full": arr[:, base + 3],
         "n_seg": arr[:, base + 4],
+        "esc_over": arr[:, base + 5],
     }
     return out

@@ -388,12 +388,12 @@ def test_dp_slot_overflow_fallback(tiny_seqs):
     aln = BWAAligner(FMIndex.construct(tiny_seqs))
     recs_c = aln.align_sequence(clean, "clean")
     enc, lens = aln._encode_batch([clean])
-    from seqlib_tpu.align.aligner import MAX_CHAINS
+    from seqlib_tpu.align.aligner import REGION_SLOTS
     from seqlib_tpu.align.device_pipeline import unpack_stage1
     jnp_ = __import__("jax.numpy", fromlist=["asarray"])
     packed = aln._dispatch_stage1(
         jnp_.asarray(enc), jnp_.asarray(lens.astype(np.int32)))
-    out = unpack_stage1(np.asarray(packed), MAX_CHAINS)
+    out = unpack_stage1(np.asarray(packed), REGION_SLOTS)
     qb, qe, rb, re, sc = aln._extend_uncompacted(enc, lens, out)
     keep = out["keep"]
     assert (qb[keep] == out["qb"][keep]).all()

@@ -197,15 +197,11 @@ def _check_corpus(aln, oracle, reads, recs_all, score_window=True,
     """Run all four oracle checks; returns counters for reporting.
 
     ``no_lower_bound``: read-name prefixes exempt from the score
-    LOWER bound (upper bound always holds).  Used for the adversarial
-    tandem/stress classes, where the single-chain extension policy —
-    same as bwa's: seeds whose diagonals differ by < w merge into one
-    chain — can settle below the global DP optimum.  Measured (r4):
-    6/129 tandem+stress reads land below optimal-10, UNCHANGED when
-    MAX_OCC_LOCATE is raised to 32 or 64, i.e. the deficit is
-    chain/extension policy, not a fixed-shape cap (VERDICT r3 item 6
-    asked for exactly this measurement); the count is pinned by
-    test_repeat_corpus_oracle."""
+    LOWER bound (upper bound always holds).  EMPTY since round 5: the
+    per-seed second extension (mem_chain2aln's seed loop, ESC_SLOTS
+    in device_pipeline) closed the historical 6/129 tandem/stress
+    deficit — below_window is now 0 on every corpus and pinned so by
+    test_repeat_corpus_oracle and tests/test_tandem_derivation.py."""
     opt = aln.options
     names = aln._contig_names()
     name2id = {n: i for i, n in enumerate(names)}
@@ -334,12 +330,10 @@ def test_repeat_corpus_oracle():
     all_reads = rg.make_repeat_reads(genome)
     reads = [r for c in range(10) for r in all_reads[c * 100:c * 100 + 40]]
     recs_all = _align_chunked(aln, reads)
-    c = _check_corpus(aln, oracle, reads, recs_all,
-                      no_lower_bound=("rep_tandem", "rep_stress"))
+    c = _check_corpus(aln, oracle, reads, recs_all)
     assert c["consist_checked"] >= 400
     assert c["xa_checked"] >= 40           # divergent-copy class emits XA
     assert c["multimap_checked"] >= 20     # exact-duplicate class
-    # recall-deficit pin: sub-optimal primaries only in the exempt
-    # adversarial classes, bounded (measured 2/80 of this 40-per-class
-    # sample; 6/129 on the full tandem+stress classes)
-    assert c["below_window"] <= 6, c
+    # r5: the per-seed second extension closed the historical
+    # tandem/stress recall deficit — NO exemptions, zero tolerance
+    assert c["below_window"] == 0, c

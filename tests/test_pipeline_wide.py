@@ -81,11 +81,11 @@ def test_fused_stage1_parity(setup):
     text = both_strands(idx.ref.codes)
     a = unpack_stage1(np.asarray(seed_chain_extend_packed(
         DeviceFMIndex.from_host(idx), jnp.asarray(text), reads, lens,
-        l_pac=idx.l_pac)), 4)
+        l_pac=idx.l_pac)), 7)
     b = unpack_stage1_wide(np.asarray(seed_chain_extend_packed_wide(
         DeviceFMIndexHiLo.from_host(idx),
         jnp.asarray(pack_text_2bit(text)), reads, lens,
-        l_pac=idx.l_pac)), 4)
+        l_pac=idx.l_pac)), 7)
     assert set(a) == set(b)
     for k in sorted(a):
         np.testing.assert_array_equal(
