@@ -561,51 +561,61 @@ def seed_chain_extend_wide(fm: DeviceFMIndexHiLo, text_w, reads, lens,
     x_alen = jnp.stack(cand_alen, axis=1)
     x_arh = jnp.stack(cand_arh, axis=1)
     x_arl = jnp.stack(cand_arl, axis=1)
-    M3 = max(B, 64)
     hf = hasx.reshape(-1)
     dstx = jnp.cumsum(hf.astype(jnp.int32)) - 1
-    okx = hf & (dstx < M3)
-    scx = jnp.where(okx, dstx, M3)
+    n_hf = jnp.sum(hf.astype(jnp.int32))
     src_be = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None], (B, E)).reshape(-1)
-    bx = jnp.full(M3, -1, jnp.int32).at[scx].set(src_be, mode="drop")
-    aqx = jnp.zeros(M3, jnp.int32).at[scx].set(
-        x_aq.reshape(-1), mode="drop")
-    alx = jnp.zeros(M3, jnp.int32).at[scx].set(
-        x_alen.reshape(-1), mode="drop")
-    arxh = jnp.zeros(M3, jnp.int32).at[scx].set(
-        x_arh.reshape(-1), mode="drop")
-    arxl = jnp.zeros(M3, jnp.int32).at[scx].set(
-        x_arl.reshape(-1), mode="drop")
+    # tiered passes (see the int32 twin's comment)
+    M3a = max(B // 16, 64)
+    M3b = max(B, 64)
+    use_small = n_hf <= M3a
 
-    def run_x(_):
-        return extend_chains_wide(
-            text_w, reads, lens, bx, aqx, alx, arxh, arxl,
-            l_pac=l_pac, o_del=o_del, e_del=e_del, o_ins=o_ins,
-            e_ins=e_ins, match=match, mismatch=mismatch,
-            pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w,
-            zdrop=zdrop)
+    def x_pass(M, gate):
+        okm = hf & (dstx < M) & gate
+        scm = jnp.where(okm, dstx, M)
+        bx = jnp.full(M, -1, jnp.int32).at[scm].set(src_be,
+                                                    mode="drop")
+        aqx = jnp.zeros(M, jnp.int32).at[scm].set(
+            x_aq.reshape(-1), mode="drop")
+        alx = jnp.zeros(M, jnp.int32).at[scm].set(
+            x_alen.reshape(-1), mode="drop")
+        arxh = jnp.zeros(M, jnp.int32).at[scm].set(
+            x_arh.reshape(-1), mode="drop")
+        arxl = jnp.zeros(M, jnp.int32).at[scm].set(
+            x_arl.reshape(-1), mode="drop")
 
-    def skip_x(_):
-        z = jnp.zeros(M3, jnp.int32)
-        return z, z, z, z, z, z, z
+        def run(_):
+            return extend_chains_wide(
+                text_w, reads, lens, bx, aqx, alx, arxh, arxl,
+                l_pac=l_pac, o_del=o_del, e_del=e_del, o_ins=o_ins,
+                e_ins=e_ins, match=match, mismatch=mismatch,
+                pen_clip5=pen_clip5, pen_clip3=pen_clip3, w=w,
+                zdrop=zdrop)
 
-    xqb, xqe, xrbh, xrbl, xreh, xrel, xsc = jax.lax.cond(
-        jnp.any(hf), run_x, skip_x, None)
-    gx = jnp.clip(dstx, 0, M3 - 1)
+        def skip(_):
+            z = jnp.zeros(M, jnp.int32)
+            return z, z, z, z, z, z, z
+
+        return okm, jax.lax.cond(jnp.any(okm), run, skip, None)
+
+    ok_s, res_s = x_pass(M3a, use_small)
+    ok_b, res_b = x_pass(M3b, ~use_small)
+    okx = ok_s | ok_b
     okg2 = okx.reshape(B, E)
 
-    def back(dp):
-        return jnp.where(okg2, dp[gx].reshape(B, E), 0) \
-            .astype(jnp.int32)
+    def back(i):
+        v = jnp.where(ok_s, res_s[i][jnp.clip(dstx, 0, M3a - 1)],
+                      res_b[i][jnp.clip(dstx, 0, M3b - 1)])
+        return jnp.where(okg2, v.reshape(B, E), 0).astype(jnp.int32)
 
-    qb = jnp.concatenate([qb, back(xqb)], axis=1)
-    qe = jnp.concatenate([qe, back(xqe)], axis=1)
-    rb_h = jnp.concatenate([rb_h, back(xrbh)], axis=1)
-    rb_l = jnp.concatenate([rb_l, back(xrbl)], axis=1)
-    re_h = jnp.concatenate([re_h, back(xreh)], axis=1)
-    re_l = jnp.concatenate([re_l, back(xrel)], axis=1)
-    score = jnp.concatenate([score, back(xsc)], axis=1)
+    qb = jnp.concatenate([qb, back(0)], axis=1)
+    qe = jnp.concatenate([qe, back(1)], axis=1)
+    rb_h = jnp.concatenate([rb_h, back(2)], axis=1)
+    rb_l = jnp.concatenate([rb_l, back(3)], axis=1)
+    re_h = jnp.concatenate([re_h, back(4)], axis=1)
+    re_l = jnp.concatenate([re_l, back(5)], axis=1)
+    score = jnp.concatenate([score, back(6)], axis=1)
     weight = jnp.concatenate(
         [ch["weight"], jnp.where(okg2, x_alen, 0)], axis=1)
     keep = jnp.concatenate([keep, okg2], axis=1)
