@@ -35,8 +35,8 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..core.record import (BamRecord, FMREVERSE, FMUNMAP, FPAIRED,
-                           FPROPER_PAIR, FREAD1, FREAD2, FREVERSE,
-                           FSECONDARY, FSUPPLEMENTARY, FUNMAP)
+                           FPROPER_PAIR, FREAD1, FREAD2,
+                           FSUPPLEMENTARY)
 
 FF, FR, RF, RR = 0, 1, 2, 3
 DIR_NAMES = ("FF", "FR", "RF", "RR")
