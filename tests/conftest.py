@@ -46,3 +46,36 @@ def ref_data_dir():
 @pytest.fixture(scope="session")
 def tiny_fa():
     return os.path.join(REFERENCE_DATA, "tiny.fa")
+
+
+# ---------------------------------------------------------------------------
+# Persistent-cache guard for interpret-mode Pallas tests.
+#
+# Serializing an interpret-mode pallas_call executable for the
+# persistent compilation cache SEGFAULTS in this jax/XLA build (the
+# crash is inside put_executable_and_time / the later read of such an
+# entry — reproduced twice on cold caches, r5).  The warm cache masked
+# it for rounds 2-4 because the entries already existed and were never
+# re-serialized.  The interpret twins only run in these test modules,
+# so the persistent cache is disabled for them; their XLA reference
+# programs recompile in seconds.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_PALLAS_INTERPRET_MODULES = {
+    "test_ops", "test_fm_pallas", "test_sw_banded",
+}
+
+
+@pytest.fixture(autouse=True)
+def _pallas_interpret_cache_guard(request):
+    mod = getattr(request.module, "__name__", "")
+    if mod in _PALLAS_INTERPRET_MODULES:
+        old = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
+    else:
+        yield
